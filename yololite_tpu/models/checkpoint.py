@@ -1,0 +1,229 @@
+"""Checkpoint import/export.
+
+Import: reads reference-format `.pt` checkpoints (a pickled dict holding a full
+torch DetectionModel under 'ema'/'model', cf. reference nn/tasks.py:406-519 and
+engine/trainer.py:360-388) WITHOUT importing any reference code: unknown classes
+unpickle into generic stub containers, tensors rebuild through torch's own
+reducers, and the state_dict is walked out of the stub module tree. Weights map
+mechanically onto our pytrees (torch OIHW conv -> HWIO; bn weight/bias ->
+scale/bias params; running stats -> state).
+
+Export: native checkpoints are msgpack-free simple `.npz` + json sidecar so a
+round-trip needs no torch at all.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import pickle
+import zipfile
+from pathlib import Path
+from types import SimpleNamespace
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yololite_tpu.utils import LOGGER
+from yololite_tpu.models.model import DetectionModel, guess_model_scale
+
+
+class _Stub:
+    """Generic unpickle target for unknown (reference) classes."""
+
+    def __setstate__(self, d):
+        if isinstance(d, dict):
+            self.__dict__.update(d)
+        else:  # pragma: no cover - exotic setstate payloads
+            self.__dict__["_state"] = d
+
+
+class _StubUnpickler(pickle.Unpickler):
+    _SAFE_PREFIXES = ("torch", "collections", "builtins", "numpy", "argparse", "pathlib", "types", "copyreg")
+
+    def find_class(self, module, name):
+        if module.split(".")[0] in {p.split(".")[0] for p in self._SAFE_PREFIXES}:
+            return super().find_class(module, name)
+        return type(name, (_Stub,), {"__module__": module})
+
+
+def _torch_load_stubbed(path):
+    """torch.load with stubbed class resolution (weights land as real tensors)."""
+    import torch
+
+    stub_pickle = SimpleNamespace(
+        Unpickler=_StubUnpickler, load=pickle.load, loads=pickle.loads, dump=pickle.dump, dumps=pickle.dumps
+    )
+    return torch.load(path, map_location="cpu", pickle_module=stub_pickle, weights_only=False)
+
+
+def _walk_module(obj, prefix="") -> Dict[str, np.ndarray]:
+    """Extract a state_dict from a (stubbed or real) torch module tree."""
+    out: Dict[str, np.ndarray] = {}
+    d = getattr(obj, "__dict__", {})
+    for name, t in (d.get("_parameters") or {}).items():
+        if t is not None:
+            out[prefix + name] = np.asarray(t.detach().to("cpu").float().numpy())
+    for name, t in (d.get("_buffers") or {}).items():
+        if t is not None and hasattr(t, "numpy"):
+            out[prefix + name] = np.asarray(t.detach().to("cpu").float().numpy())
+    for name, child in (d.get("_modules") or {}).items():
+        if child is not None:
+            out.update(_walk_module(child, f"{prefix}{name}."))
+    return out
+
+
+def read_pt_checkpoint(path) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
+    """Read a reference .pt checkpoint -> (state_dict, meta).
+
+    meta keys: 'yaml' (arch dict if present), 'args' (train args dict), 'names',
+    'scale', 'nc', 'epoch', 'best_fitness'.
+    """
+    ckpt = _torch_load_stubbed(str(path))
+    if not isinstance(ckpt, dict):
+        ckpt = {"model": ckpt}
+    net = ckpt.get("ema") or ckpt.get("model")  # EMA preferred (reference tasks.py:503)
+    if net is None:
+        raise ValueError(f"checkpoint {path} has no 'model' or 'ema' entry")
+    sd = _walk_module(net)
+    # strip the outer DetectionModel 'model.' prefix
+    sd = {k[len("model."):] if k.startswith("model.") else k: v for k, v in sd.items()}
+
+    meta: Dict[str, Any] = {}
+    nd = getattr(net, "__dict__", {})
+    meta["yaml"] = nd.get("yaml")
+    args = ckpt.get("train_args") or nd.get("args")
+    if args is not None and not isinstance(args, dict):
+        args = vars(args) if hasattr(args, "__dict__") or isinstance(args, SimpleNamespace) else None
+    meta["args"] = args or {}
+    meta["names"] = nd.get("names")
+    meta["epoch"] = ckpt.get("epoch", -1)
+    meta["best_fitness"] = ckpt.get("best_fitness")
+    meta["scale"] = (meta["yaml"] or {}).get("scale") or guess_model_scale(path)
+    meta["nc"] = (meta["yaml"] or {}).get("nc")
+    if meta["nc"] is None and meta["names"]:
+        meta["nc"] = len(meta["names"])
+    return sd, meta
+
+
+def _set_nested(tree: Dict, parts, value, filled):
+    node = tree
+    for p in parts[:-1]:
+        if p not in node:
+            raise KeyError(f"path {'.'.join(parts)}: no key '{p}' (have {list(node)})")
+        node = node[p]
+    leaf = parts[-1]
+    if leaf not in node:
+        raise KeyError(f"path {'.'.join(parts)}: no leaf '{leaf}' (have {list(node)})")
+    expect = node[leaf]
+    if tuple(expect.shape) != tuple(value.shape):
+        raise ValueError(f"shape mismatch at {'.'.join(parts)}: {expect.shape} vs {value.shape}")
+    # copy=True: on CPU jnp.asarray may alias the numpy buffer, which can alias a
+    # live torch tensor -- later in-place torch updates would leak into our tree
+    node[leaf] = jnp.array(value, dtype=jnp.float32, copy=True)
+    filled.add(tuple(parts))
+
+
+def state_dict_to_pytree(sd: Dict[str, np.ndarray], model: DetectionModel) -> Tuple[Dict, Dict]:
+    """Map a torch state_dict (names relative to the Sequential) onto params/state trees."""
+    params, state = model.init(0)
+    filled: set = set()
+    for name, v in sd.items():
+        if name.startswith("model."):  # outer DetectionModel wrapper attribute
+            name = name[len("model."):]
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked" or "dfl" in parts:
+            continue
+        parent = parts[-2] if len(parts) > 1 else ""
+        if parent == "bn":
+            if leaf == "weight":
+                _set_nested(params, parts[:-1] + ["scale"], v, filled)
+            elif leaf == "bias":
+                _set_nested(params, parts[:-1] + ["bias"], v, filled)
+            elif leaf == "running_mean":
+                _set_nested(state, parts[:-1] + ["mean"], v, filled)
+            elif leaf == "running_var":
+                _set_nested(state, parts[:-1] + ["var"], v, filled)
+        elif parent == "conv" and leaf == "weight":
+            _set_nested(params, parts[:-1] + ["w"], v.transpose(2, 3, 1, 0), filled)
+        elif leaf == "weight" and v.ndim == 4:  # plain nn.Conv2d (Detect final 1x1s)
+            _set_nested(params, parts[:-1] + ["w"], v.transpose(2, 3, 1, 0), filled)
+        elif leaf == "bias":
+            _set_nested(params, parts[:-1] + ["b"], v, filled)
+        else:
+            LOGGER.warning(f"checkpoint import: skipping unrecognized entry '{name}' {v.shape}")
+
+    # verify full coverage of param leaves
+    missing = []
+
+    def _check(tree, prefix):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                _check(v, prefix + (k,))
+            elif prefix + (k,) not in filled:
+                missing.append(".".join(prefix + (k,)))
+
+    _check(params, ())
+    _check(state, ())
+    if missing:
+        raise ValueError(f"checkpoint import left {len(missing)} leaves unfilled, e.g. {missing[:5]}")
+    return params, state
+
+
+def load_pt(path, nc: Optional[int] = None) -> Tuple[DetectionModel, Dict, Dict, Dict]:
+    """Load a reference .pt checkpoint into (model, params, state, meta)."""
+    sd, meta = read_pt_checkpoint(path)
+    scale = meta.get("scale") or "n"
+    cfg = f"yolo11{scale}.yaml"
+    model = DetectionModel(cfg, nc=nc or meta.get("nc"))
+    if meta.get("names"):
+        model.names = meta["names"]
+    model.args = meta.get("args", {})
+    params, state = state_dict_to_pytree(sd, model)
+    return model, params, state, meta
+
+
+# ---- native checkpoint format (.npz + json header) ----
+
+
+def _flatten(tree: Dict, prefix=()) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[".".join(prefix + (k,))] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
+    tree: Dict = {}
+    for name, v in flat.items():
+        parts = name.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return tree
+
+
+def save_native(path, params: Dict, state: Dict, meta: Optional[Dict] = None):
+    """Save params/state (+ json meta) to a single .npz container."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    flat = {f"params.{k}": v for k, v in _flatten(params).items()}
+    flat.update({f"state.{k}": v for k, v in _flatten(state).items()})
+    flat["__meta__"] = np.frombuffer(json.dumps(meta or {}, default=str).encode(), dtype=np.uint8)
+    np.savez(path, **flat)
+
+
+def load_native(path) -> Tuple[Dict, Dict, Dict]:
+    """Load a native .npz checkpoint -> (params, state, meta)."""
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(z["__meta__"]).decode()) if "__meta__" in z else {}
+    pflat = {k[len("params."):]: z[k] for k in z.files if k.startswith("params.")}
+    sflat = {k[len("state."):]: z[k] for k in z.files if k.startswith("state.")}
+    return _unflatten(pflat), _unflatten(sflat), meta

@@ -1,0 +1,220 @@
+"""Graph builder: YOLO architecture DSL -> functional JAX model.
+
+Replaces the reference's eval()-driven `parse_model` (nn/tasks.py:525-664) with an
+explicit registry. The spec is resolved once at build time into a static Python
+list of module objects; the jitted forward is a trace-time loop over that list
+with skip-buffer wiring, so XLA sees one flat graph.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yololite_tpu.utils import LOGGER, ROOT, yaml_load
+from yololite_tpu.models import modules as M
+
+# Registry of spec-name -> (module class, kind). Kinds drive arg rewriting:
+#   'ch'      : args = [c1, c2_scaled, *rest]
+#   'repeat'  : additionally insert repeat count n after c2
+#   'plain'   : args used as-is
+REGISTRY: Dict[str, Tuple[type, str]] = {
+    "Conv": (M.Conv, "ch"),
+    "DWConv": (M.DWConv, "ch"),
+    "Bottleneck": (M.Bottleneck, "ch"),
+    "SPPF": (M.SPPF, "ch"),
+    "C2f": (M.C2f, "repeat"),
+    "C3": (M.C3, "repeat"),
+    "C3k2": (M.C3k2, "repeat"),
+    "C2PSA": (M.C2PSA, "repeat"),
+    "Concat": (M.Concat, "plain"),
+    "nn.Upsample": (M.Upsample, "plain"),
+    "Upsample": (M.Upsample, "plain"),
+    "Detect": (M.Detect, "detect"),
+}
+
+
+def make_divisible(x, divisor=8):
+    """Round channel count up to the nearest multiple of divisor."""
+    return math.ceil(x / divisor) * divisor
+
+
+def guess_model_scale(model_path) -> str:
+    """Extract the scale letter from a name like yolo11n.yaml / yolo11s.pt."""
+    m = re.search(r"yolo[v]?\d+([nslmx])", Path(str(model_path)).stem)
+    return m.group(1) if m else ""
+
+
+def yaml_model_load(path) -> Dict:
+    """Load an architecture yaml, resolving the scale from the filename."""
+    path = Path(str(path))
+    stem = path.stem
+    scale = guess_model_scale(stem)
+    unified = re.sub(r"(\d+)([nslmx])(.+)?$", r"\1\3", stem)  # yolo11n -> yolo11
+    candidates = [path, ROOT / "cfg" / path.name, ROOT / "cfg" / f"{unified}{path.suffix or '.yaml'}"]
+    for p in candidates:
+        if p.exists():
+            d = yaml_load(p, append_filename=True)
+            d["scale"] = scale or d.get("scale") or tuple(d.get("scales", {"n": 0}).keys())[0]
+            return d
+    raise FileNotFoundError(f"Model yaml '{path}' not found (searched {candidates})")
+
+
+class Row:
+    """One resolved spec row: module instance + graph wiring."""
+
+    def __init__(self, i: int, f: Union[int, List[int]], mod: M.Module, name: str, args):
+        self.i = i
+        self.f = f
+        self.mod = mod
+        self.name = name
+        self.args = args
+
+
+def parse_spec(d: Dict, ch_in: int = 3, verbose: bool = False) -> Tuple[List[Row], List[int], int, List[int]]:
+    """Resolve a model dict into rows, save-list, nc, and detect strides.
+
+    Applies the reference's compound scaling (nn/tasks.py:593-624): depth gain on
+    repeats, width gain + max_channels clamp on output channels, c3k=True for
+    m/l/x C3k2 blocks.
+    """
+    nc = d.get("nc", 80)
+    scales = d.get("scales")
+    depth, width, max_channels = 1.0, 1.0, float("inf")
+    scale = d.get("scale")
+    if scales:
+        if not scale:
+            scale = tuple(scales.keys())[0]
+        depth, width, max_channels = scales[scale]
+
+    ch = [ch_in]
+    spatial = [1]  # cumulative downscale per produced layer (input=1)
+    rows: List[Row] = []
+    save: List[int] = []
+    detect_strides: List[int] = []
+
+    for i, (f, n, name, args) in enumerate(d["backbone"] + d["head"]):
+        args = list(args)
+        for j, a in enumerate(args):
+            if a == "nc":
+                args[j] = nc
+        cls, kind = REGISTRY[name]
+        n_scaled = max(round(n * depth), 1) if n > 1 else n
+
+        prev = f if isinstance(f, int) else f[0]
+        if kind in ("ch", "repeat"):
+            c1, c2 = ch[prev], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            margs = [c1, c2, *args[1:]]
+            if kind == "repeat":
+                margs.insert(2, n_scaled)
+                n_scaled = 1
+            if name == "C3k2" and scale in "mlx":
+                # c3k flag is margs[3] ([c1, c2, n, c3k, ...])
+                if len(margs) > 3:
+                    margs[3] = True
+                else:
+                    margs.append(True)
+            mod = cls(*margs)
+            sp = spatial[prev] * (mod.s if isinstance(mod, M.Conv) else 1)
+        elif kind == "plain":
+            if name == "Concat":
+                c2 = sum(ch[x] for x in f)
+                sp = spatial[f[0]]
+            else:  # Upsample
+                c2 = ch[prev]
+                mod_tmp = cls(*args)
+                sp = spatial[prev] // mod_tmp.scale
+            mod = cls(*args)
+            margs = args
+        elif kind == "detect":
+            in_ch = [ch[x] for x in f]
+            mod = cls(nc, in_ch)
+            mod.stride = [spatial[x] for x in f]
+            detect_strides = mod.stride
+            c2 = 0
+            sp = 0
+            margs = [nc, in_ch]
+        else:  # pragma: no cover
+            raise KeyError(name)
+
+        if n_scaled > 1:
+            mod = M.Seq(*[cls(*margs) for _ in range(n_scaled)])
+
+        rows.append(Row(i, f, mod, name, margs))
+        save.extend(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)
+        if i == 0:
+            ch = []
+            spatial = []
+        ch.append(c2)
+        spatial.append(sp)
+        if verbose:
+            LOGGER.info(f"{i:>3} {str(f):>18} {n_scaled:>3}  {name:<12} {margs}")
+
+    return rows, sorted(set(save)), nc, detect_strides
+
+
+def count_params(tree) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+class DetectionModel:
+    """Functional YOLO detection model.
+
+    Holds the static graph (rows + wiring); parameters/state are explicit pytrees:
+        
+        feats = model.apply(params, state, x_nhwc, train=False)   # list of 3 NHWC maps
+    Raw per-level maps carry 4*reg_max + nc channels; box decoding lives in
+    yololite_tpu.ops.decode (device-side, shared by predict/val/loss paths).
+    """
+
+    def __init__(self, cfg: Union[str, Dict] = "yolo11n.yaml", ch: int = 3, nc: Optional[int] = None, verbose=False):
+        self.yaml = yaml_model_load(cfg) if isinstance(cfg, (str, Path)) else dict(cfg)
+        if nc and nc != self.yaml.get("nc"):
+            self.yaml["nc"] = nc
+        self.rows, self.save, self.nc, self.strides = parse_spec(self.yaml, ch, verbose=verbose)
+        self.detect: M.Detect = self.rows[-1].mod
+        self.reg_max = self.detect.reg_max
+        self.no = self.detect.no
+        self.names = {i: f"class{i}" for i in range(self.nc)}
+        self.args: Dict = {}
+
+    # ---- parameter lifecycle ----
+
+    def init(self, seed=0) -> Tuple[Dict, Dict]:
+        kg = seed if isinstance(seed, M.KeyGen) else M.KeyGen(seed if isinstance(seed, int) else 0)
+        params = {}
+        state = {}
+        for row in self.rows:
+            p, s = row.mod.init(kg)
+            params[str(row.i)] = p
+            state[str(row.i)] = s
+        params[str(self.rows[-1].i)] = self.detect.bias_init(params[str(self.rows[-1].i)])
+        return params, state
+
+    # ---- forward ----
+
+    def apply(self, params, state, x, train: bool = False, ctx: Optional[M.Ctx] = None):
+        """Run the graph. x: (B, H, W, 3) NHWC. Returns list of per-level maps."""
+        ctx = ctx or M.Ctx(train=train)
+        saved: Dict[int, jnp.ndarray] = {}
+        y = x
+        for row in self.rows:
+            if isinstance(row.f, int):
+                inp = y if row.f == -1 else saved[row.f]
+            else:
+                inp = [y if j == -1 else saved[j] for j in row.f]
+            y = row.mod(params[str(row.i)], state[str(row.i)], inp, ctx, (str(row.i),))
+            if row.i in self.save:
+                saved[row.i] = y
+        return y  # Detect output: list of (B, H, W, no) maps
+
+    def num_params(self, params) -> int:
+        return count_params(params)
