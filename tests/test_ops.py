@@ -1,0 +1,147 @@
+"""Unit tests for box algebra, decode, NMS, and letterbox geometry."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yololite_tpu.ops import (
+    bbox_iou,
+    box_iou,
+    bbox2dist,
+    dist2bbox,
+    make_anchors,
+    non_max_suppression,
+    xywh2xyxy,
+    xyxy2xywh,
+    LetterBox,
+)
+from yololite_tpu.ops.decode import dfl_expectation
+
+
+def test_xywh_roundtrip():
+    rng = np.random.default_rng(0)
+    b = rng.uniform(0, 100, (50, 4)).astype(np.float32)
+    back = xyxy2xywh(xywh2xyxy(b))
+    np.testing.assert_allclose(back, b, rtol=1e-5, atol=1e-4)
+
+
+def test_dist2bbox_roundtrip():
+    rng = np.random.default_rng(1)
+    anchors = jnp.asarray(rng.uniform(5, 50, (30, 2)).astype(np.float32))
+    dist = jnp.asarray(rng.uniform(0, 10, (30, 4)).astype(np.float32))
+    boxes = dist2bbox(dist, anchors, xywh=False)
+    back = bbox2dist(anchors, boxes, reg_max=16)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(dist), rtol=1e-5, atol=1e-4)
+
+
+def test_dfl_expectation_degenerate():
+    # one-hot logits -> expectation equals the hot bin index
+    logits = np.full((1, 3, 64), -1e9, dtype=np.float32)
+    for a, hot in enumerate([2, 7, 15]):
+        for side in range(4):
+            logits[0, a, side * 16 + hot] = 0.0
+    out = np.asarray(dfl_expectation(jnp.asarray(logits)))
+    np.testing.assert_allclose(out[0, 0], [2] * 4, atol=1e-5)
+    np.testing.assert_allclose(out[0, 1], [7] * 4, atol=1e-5)
+    np.testing.assert_allclose(out[0, 2], [15] * 4, atol=1e-5)
+
+
+def test_make_anchors_matches_reference_math():
+    anchors, strides = make_anchors([(4, 4), (2, 2)], [8, 16])
+    anchors, strides = np.asarray(anchors), np.asarray(strides)
+    assert anchors.shape == (20, 2) and strides.shape == (20, 1)
+    np.testing.assert_allclose(anchors[0], [0.5, 0.5])
+    np.testing.assert_allclose(anchors[5], [1.5, 1.5])  # row-major: second row, second col
+    np.testing.assert_allclose(strides[:16], 8)
+    np.testing.assert_allclose(strides[16:], 16)
+
+
+def test_ciou_matches_manual():
+    b1 = jnp.asarray([[10.0, 10.0, 20.0, 20.0]])
+    b2 = jnp.asarray([[12.0, 12.0, 22.0, 22.0]])
+    plain = float(np.asarray(bbox_iou(b1, b2, xywh=False))[0])
+    ciou = float(np.asarray(bbox_iou(b1, b2, xywh=False, CIoU=True))[0])
+    inter = 8 * 8
+    union = 100 + 100 - inter
+    assert abs(plain - inter / union) < 1e-4
+    assert ciou < plain  # CIoU penalizes center distance
+
+
+def nms_oracle(boxes, scores, iou_thres):
+    """Plain numpy greedy NMS (torchvision semantics: suppress IoU > threshold)."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        ious = np.asarray(box_iou(boxes[i : i + 1], boxes)).reshape(-1)
+        suppressed |= ious > iou_thres
+        suppressed[i] = True
+    return np.array(keep)
+
+
+@pytest.mark.parametrize("agnostic", [False, True])
+def test_nms_matches_greedy_oracle(agnostic):
+    rng = np.random.default_rng(2)
+    n, nc = 200, 5
+    centers = rng.uniform(50, 590, (n, 2))
+    wh = rng.uniform(10, 80, (n, 2))
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1).astype(np.float32)
+    cls = rng.integers(0, nc, n)
+    conf = rng.uniform(0, 1, n).astype(np.float32)
+    scores = np.zeros((n, nc), np.float32)
+    scores[np.arange(n), cls] = conf
+
+    out = np.asarray(
+        non_max_suppression(
+            jnp.asarray(boxes)[None], jnp.asarray(scores)[None], conf_thres=0.1, iou_thres=0.45,
+            max_det=300, max_cand=256, agnostic=agnostic,
+        )
+    )[0]
+    got = out[out[:, 4] > 0]
+
+    mask = conf > 0.1
+    off = np.zeros(n) if agnostic else cls * 7680.0
+    obx = boxes + off[:, None]
+    keep = nms_oracle(obx[mask], conf[mask], 0.45)
+    exp_idx = np.flatnonzero(mask)[keep]
+    # same detection set, sorted by confidence
+    exp = np.concatenate([boxes[exp_idx], conf[exp_idx, None], cls[exp_idx, None].astype(np.float32)], -1)
+    exp = exp[np.argsort(-exp[:, 4], kind="stable")][:300]
+    assert got.shape[0] == exp.shape[0]
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-3)
+
+
+def test_nms_multilabel():
+    # one box scoring above threshold for two classes -> two detections survive
+    boxes = np.array([[10, 10, 50, 50]], np.float32)
+    scores = np.array([[0.9, 0.8, 0.001]], np.float32)
+    out = np.asarray(
+        non_max_suppression(
+            jnp.asarray(boxes)[None], jnp.asarray(scores)[None], conf_thres=0.01, iou_thres=0.5,
+            max_det=10, max_cand=8, multi_label=True,
+        )
+    )[0]
+    got = out[out[:, 4] > 0]
+    assert got.shape[0] == 2
+    assert set(got[:, 5].astype(int)) == {0, 1}
+
+
+def test_letterbox_geometry_vs_reference_math():
+    # 480x640 -> 640x640: r=1.0 wait no: min(640/480, 640/640)=1.0 -> pad dh=(640-480)/2=80
+    img = np.full((480, 640, 3), 37, np.uint8)
+    lb = LetterBox((640, 640))
+    out = lb(img)
+    assert out.shape == (640, 640, 3)
+    assert (out[:80] == 114).all() and (out[-80:] == 114).all()
+    assert (out[80:560] == 37).all()
+
+    # odd padding split: 100x200 -> 64x64: r=0.32 -> new_unpad=(64,32), dh=32 -> 15.95/16.05 -> top 16, bottom 16
+    img2 = np.full((100, 200, 3), 9, np.uint8)
+    out2 = LetterBox((64, 64))(img2)
+    assert out2.shape == (64, 64, 3)
+    col = out2[:, 32, 0]
+    assert (col[:16] == 114).all() and (col[-16:] == 114).all()

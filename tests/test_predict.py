@@ -1,0 +1,100 @@
+"""End-to-end predict pipeline tests using a fabricated reference-format .pt.
+
+The pretrained blob is absent from the mount, so we torch-save a reference model
+(random weights) in the reference checkpoint layout and exercise: stub-unpickle
+import -> pytree mapping -> letterbox -> jitted forward+decode+NMS -> Results,
+plus numeric decode parity vs the torch inference output.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE, reference_available
+
+import jax.numpy as jnp
+
+BOATS = REFERENCE / "boats.jpg"
+
+
+@pytest.fixture(scope="module")
+def fake_pt(tmp_path_factory):
+    if not reference_available():
+        pytest.skip("reference mount not present")
+    sys.path.insert(0, str(REFERENCE))
+    import torch
+    from tests.test_model_parity import _build_reference_model
+
+    tm = _build_reference_model("n")
+    tm.args = {"imgsz": 640, "conf": None}
+    tm.names = {i: f"c{i}" for i in range(80)}
+    pt = tmp_path_factory.mktemp("ckpt") / "yolo11n.pt"
+    torch.save({"model": tm, "train_args": {"imgsz": 640, "batch": 16}, "epoch": -1}, str(pt))
+    return str(pt), tm
+
+
+def test_load_pt_roundtrip(fake_pt):
+    pt, tm = fake_pt
+    from yololite_tpu.models.checkpoint import load_pt
+
+    model, params, state, meta = load_pt(pt)
+    assert model.nc == 80
+    assert meta["args"]["imgsz"] == 640
+    w_torch = tm.state_dict()["model.0.conv.weight"].numpy()
+    w_jax = np.asarray(params["0"]["conv"]["w"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(w_jax, w_torch, atol=1e-6)
+
+
+def test_decode_parity_vs_torch_inference(fake_pt):
+    """Our decode path == torch Detect._inference (dbox + sigmoid cls)."""
+    import torch
+
+    pt, tm = fake_pt
+    from yololite_tpu.models.checkpoint import load_pt
+    from yololite_tpu.ops.decode import decode_detections
+
+    model, params, state, meta = load_pt(pt)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 3, 160, 160), dtype=np.float32)
+    with torch.no_grad():
+        y = tm(torch.from_numpy(x))
+    t_pred = y[0].numpy()  # (1, 84, A): xywh pixels + sigmoid scores
+
+    feats = model.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    boxes, scores = decode_detections(feats, model.strides, model.nc, xywh=True)
+    j_pred = np.concatenate([np.asarray(boxes), np.asarray(scores)], axis=-1).transpose(0, 2, 1)
+    np.testing.assert_allclose(j_pred, t_pred, rtol=1e-3, atol=2e-4)
+
+
+def test_predict_end_to_end(fake_pt, tmp_path):
+    pt, _ = fake_pt
+    from yololite_tpu import YOLOLite
+
+    m = YOLOLite(pt)
+    results = m.predict([str(BOATS)], conf=1e-7, verbose=False, save=False, imgsz=320)
+    assert len(results) == 1
+    r = results[0]
+    assert r.orig_shape[0] > 0
+    # random weights: boxes exist at tiny conf and lie inside the original image
+    assert len(r.boxes) > 0
+    xyxy = r.boxes.xyxy
+    assert (xyxy[:, 0] >= 0).all() and (xyxy[:, 2] <= r.orig_shape[1]).all()
+    assert (xyxy[:, 1] >= 0).all() and (xyxy[:, 3] <= r.orig_shape[0]).all()
+    # Results API surface
+    assert isinstance(r.summary(), list)
+    assert r.to_csv() is not None
+    txt = tmp_path / "out.txt"
+    r.save_txt(txt)
+    assert txt.exists()
+
+
+def test_predict_numpy_source(fake_pt):
+    pt, _ = fake_pt
+    from yololite_tpu import YOLOLite
+
+    m = YOLOLite(pt)
+    img = np.full((240, 320, 3), 128, np.uint8)
+    results = m.predict([img, img], conf=0.5, verbose=False, save=False, imgsz=320, batch=2)
+    assert len(results) == 2

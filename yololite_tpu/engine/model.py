@@ -1,6 +1,138 @@
-"""YOLOLite facade (placeholder; full engine lands with predictor/trainer)."""
+"""YOLOLite facade: load / predict / val / train, same surface as the reference.
+
+Counterpart of reference engine/model.py:17-146. Weights live in explicit pytrees
+(params, state) owned by this object; engines receive them functionally.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Union
+
+from yololite_tpu.cfg import DEFAULT_CFG_DICT, get_cfg
+from yololite_tpu.models.checkpoint import load_native, load_pt, save_native
+from yololite_tpu.models.model import DetectionModel
+from yololite_tpu.utils import LOGGER
 
 
 class YOLOLite:
-    def __init__(self, model="yolo11n.pt", task="detect"):
-        raise NotImplementedError("engine under construction")
+    """Facade: `YOLOLite('yolo11n.pt')(['img.jpg'])` / `.train(data=...)` / `.val()`."""
+
+    def __init__(self, model: Union[str, Path] = "yolo11n.pt", task: str = "detect", verbose: bool = False):
+        assert task == "detect", "only detection is supported"
+        self.task = task
+        self.overrides: Dict = {}
+        self.metrics = None
+        self.trainer = None
+        self.predictor = None
+        model = str(model).strip()
+        self.ckpt_path = model
+        if model.endswith((".yaml", ".yml")):
+            self._new(model, verbose=verbose)
+        elif model.endswith(".npz"):
+            self._load_native(model)
+        else:
+            self._load(model)
+
+    # ---- construction ----
+
+    def _new(self, cfg: str, verbose: bool = False):
+        self.model = DetectionModel(cfg, verbose=verbose)
+        self.params, self.state = self.model.init(0)
+        self.ckpt = None
+        self.overrides["model"] = cfg
+        self.overrides["task"] = self.task
+
+    def _load(self, weights: str):
+        if not Path(weights).exists():
+            raise FileNotFoundError(
+                f"checkpoint '{weights}' not found. Pass a yolo11[nslmx].yaml to build from scratch, "
+                f"or a .pt/.npz checkpoint path."
+            )
+        if weights.endswith(".pt"):
+            self.model, self.params, self.state, meta = load_pt(weights)
+            self.ckpt = meta
+            args = {k: v for k, v in (meta.get("args") or {}).items() if k in DEFAULT_CFG_DICT}
+            args["model"] = weights
+            args["task"] = self.task
+            self.overrides = args
+        else:
+            raise ValueError(f"unsupported checkpoint format: {weights}")
+
+    def _load_native(self, path: str):
+        params, state, meta = load_native(path)
+        cfg = meta.get("cfg", "yolo11n.yaml")
+        self.model = DetectionModel(cfg, nc=meta.get("nc"))
+        if meta.get("names"):
+            self.model.names = {int(k): v for k, v in meta["names"].items()}
+        self.params, self.state = params, state
+        self.ckpt = meta
+        self.overrides = {k: v for k, v in (meta.get("args") or {}).items() if k in DEFAULT_CFG_DICT}
+        self.overrides.update({"model": path, "task": self.task})
+
+    # ---- API ----
+
+    @property
+    def names(self):
+        return self.model.names
+
+    def __call__(self, source=None, stream: bool = False, **kwargs):
+        return self.predict(source, stream, **kwargs)
+
+    def predict(self, source=None, stream: bool = False, predictor=None, **kwargs):
+        if source is None:
+            raise ValueError("predict() requires a source (path, list, or array)")
+        custom = {"conf": 0.25, "batch": 1, "save": False, "mode": "predict"}
+        args = {**self.overrides, **custom, **kwargs}
+        from yololite_tpu.engine.predictor import DetectionPredictor
+
+        if self.predictor is None or predictor is not None:
+            self.predictor = (predictor or DetectionPredictor)(overrides=args)
+            self.predictor.setup_model(self.model, self.params, self.state)
+        else:
+            self.predictor.args = get_cfg(self.predictor.args, kwargs)
+        return self.predictor(source=source, stream=stream)
+
+    def val(self, validator=None, **kwargs):
+        custom = {"rect": False, "mode": "val"}
+        args = {**self.overrides, **custom, **kwargs}
+        from yololite_tpu.engine.validator import DetectionValidator
+
+        v = (validator or DetectionValidator)(args=args)
+        v(model=self.model, params=self.params, state=self.state)
+        self.metrics = v.metrics
+        return v.metrics
+
+    def train(self, trainer=None, **kwargs):
+        custom = {"mode": "train"}
+        args = {**self.overrides, **custom, **kwargs}
+        if args.get("resume"):
+            args["resume"] = self.ckpt_path
+        from yololite_tpu.engine.trainer import DetectionTrainer
+
+        self.trainer = (trainer or DetectionTrainer)(overrides=args)
+        if not args.get("resume"):
+            self.trainer.set_model(self.model, self.params, self.state)
+        self.trainer.train()
+        # reload best weights after training (reference model.py:133-141)
+        best = getattr(self.trainer, "best", None)
+        if best and Path(best).exists():
+            self._load_native(str(best))
+        self.metrics = getattr(self.trainer, "metrics", None)
+        return self.metrics
+
+    def save(self, path: Union[str, Path]):
+        """Save weights to the native .npz format."""
+        meta = {
+            "cfg": f"yolo11{self.model.yaml.get('scale', 'n')}.yaml",
+            "nc": self.model.nc,
+            "names": self.model.names,
+            "args": self.overrides,
+        }
+        save_native(path, self.params, self.state, meta)
+        return path
+
+    def info(self):
+        n = self.model.num_params(self.params)
+        LOGGER.info(f"yolo11{self.model.yaml.get('scale', '?')}: {n:,} parameters, strides {self.model.strides}")
+        return {"params": n, "strides": self.model.strides}

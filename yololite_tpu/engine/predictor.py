@@ -1,0 +1,168 @@
+"""Streaming detection predictor: batched, double-buffered TPU pipeline.
+
+TPU-first redesign of reference engine/predictor.py:21-323. The per-batch flow is
+host letterbox (cv2) -> one jitted device graph (forward + DFL decode + NMS) ->
+padded (B, max_det, 6) detections back to host -> rescale + Results. There is no
+per-image Python NMS loop and no mid-graph host sync; incomplete batches are
+padded to a fixed shape so the graph compiles once per (batch, imgsz).
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yololite_tpu.cfg import get_cfg, get_save_dir
+from yololite_tpu.data.build import Prefetcher, load_inference_source
+from yololite_tpu.engine.results import Results
+from yololite_tpu.ops.decode import decode_detections
+from yololite_tpu.ops.letterbox import preprocess_batch
+from yololite_tpu.ops.nms import non_max_suppression
+from yololite_tpu.ops.boxes import scale_boxes_np
+from yololite_tpu.utils import LOGGER, colorstr
+from yololite_tpu.utils.checks import check_imgsz
+from yololite_tpu.utils.profile import Profile
+
+
+class DetectionPredictor:
+    """Holds the jitted inference graph and the streaming loop state."""
+
+    def __init__(self, cfg=None, overrides: Optional[Dict] = None):
+        self.args = get_cfg(cfg or {}, None) if isinstance(cfg, dict) and not overrides else get_cfg(overrides=overrides)
+        if self.args.conf is None:
+            self.args.conf = 0.25
+        self.save_dir = get_save_dir(self.args)
+        self.model = None  # DetectionModel
+        self.params = None
+        self.state = None
+        self.dataset = None
+        self.results = None
+        self.seen = 0
+        self.windows = []
+        self.speed = {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0}
+        self._lock = threading.Lock()
+        self._infer = None
+        self.done_warmup = False
+
+    # ---- setup ----
+
+    def setup_model(self, model, params, state, half: Optional[bool] = None):
+        """Bind a DetectionModel + weight pytrees; build the fused jitted graph."""
+        self.model = model
+        half = self.args.half if half is None else half
+        if half:
+            cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
+            params, state = cast(params), cast(state)
+        self.params = jax.device_put(params)
+        self.state = jax.device_put(state)
+
+        nc, strides, reg_max = model.nc, model.strides, model.reg_max
+        conf, iou = float(self.args.conf), float(self.args.iou)
+        max_det = int(self.args.max_det)
+        agnostic = bool(self.args.agnostic_nms)
+        class_mask = None
+        if self.args.classes is not None:
+            cm = np.zeros(nc, bool)
+            cm[np.asarray(self.args.classes, int)] = True
+            class_mask = jnp.asarray(cm)
+
+        @jax.jit
+        def _infer(params, state, images):
+            x = images.astype(jnp.bfloat16) if half else images
+            feats = model.apply(params, state, x, train=False)
+            feats = [f.astype(jnp.float32) for f in feats]
+            boxes, scores = decode_detections(feats, strides, nc, reg_max, xywh=False)
+            return non_max_suppression(
+                boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det,
+                max_cand=1024, multi_label=False, agnostic=agnostic, class_mask=class_mask,
+            )
+
+        self._infer = _infer
+
+    def setup_source(self, source):
+        self.imgsz = check_imgsz(self.args.imgsz, stride=32, min_dim=2)
+        self.dataset = load_inference_source(
+            source, batch=self.args.batch, vid_stride=self.args.vid_stride, buffer=self.args.stream_buffer
+        )
+
+    def warmup(self, batch: int):
+        imgs = jnp.zeros((batch, self.imgsz[0], self.imgsz[1], 3), jnp.float32)
+        jax.block_until_ready(self._infer(self.params, self.state, imgs))
+        self.done_warmup = True
+
+    # ---- inference ----
+
+    def __call__(self, source=None, stream: bool = False, **kwargs):
+        if stream:
+            return self.stream_inference(source)
+        return list(self.stream_inference(source))
+
+    def stream_inference(self, source):
+        """Generator yielding per-image Results; the hot loop is host-prefetched."""
+        if self.args.verbose:
+            LOGGER.info("")
+        self.setup_source(source)
+        if self.args.save or self.args.save_txt:
+            self.save_dir.mkdir(parents=True, exist_ok=True)
+        if not self.done_warmup:
+            self.warmup(batch=self.args.batch)
+
+        profilers = (Profile(), Profile(), Profile())
+        batch_size = int(self.args.batch)
+        with self._lock:
+            for paths, im0s, infos in Prefetcher(self.dataset, depth=2):
+                with profilers[0]:
+                    im = preprocess_batch(im0s, imgsz=self.imgsz[0])
+                    n = im.shape[0]
+                    if n < batch_size:  # pad tail batch to the compiled shape
+                        im = np.concatenate([im, np.zeros((batch_size - n, *im.shape[1:]), im.dtype)])
+                with profilers[1]:
+                    dets = self._infer(self.params, self.state, jnp.asarray(im))
+                    dets = np.asarray(jax.block_until_ready(dets))
+                with profilers[2]:
+                    results = self.postprocess(dets[:n], im.shape[1:3], im0s, paths)
+
+                for i, result in enumerate(results):
+                    self.seen += 1
+                    result.speed = {
+                        "preprocess": profilers[0].dt * 1e3 / n,
+                        "inference": profilers[1].dt * 1e3 / n,
+                        "postprocess": profilers[2].dt * 1e3 / n,
+                    }
+                    if self.args.verbose:
+                        LOGGER.info(f"{infos[i]}{result.verbose()}{profilers[1].dt * 1e3 / n:.1f}ms")
+                    if self.args.save:
+                        result.save(str(self.save_dir / Path(paths[i]).name))
+                    if self.args.save_txt:
+                        result.save_txt(str(self.save_dir / "labels" / (Path(paths[i]).stem + ".txt")),
+                                        save_conf=self.args.save_conf)
+                    if self.args.save_crop:
+                        result.save_crop(self.save_dir / "crops", Path(paths[i]).name)
+                    yield result
+
+        if self.args.verbose and self.seen:
+            t = tuple(p.t / self.seen * 1e3 for p in profilers)
+            LOGGER.info(
+                f"Speed: {t[0]:.1f}ms preprocess, {t[1]:.1f}ms inference, {t[2]:.1f}ms postprocess "
+                f"per image at shape (1, {self.imgsz[0]}, {self.imgsz[1]}, 3)"
+            )
+        if self.args.save or self.args.save_txt:
+            LOGGER.info(f"Results saved to {colorstr('bold', self.save_dir)}")
+
+    def postprocess(self, dets: np.ndarray, input_hw, orig_imgs: List[np.ndarray], paths) -> List[Results]:
+        """Strip padding rows, rescale to original frames, wrap in Results."""
+        results = []
+        for det, im0, path in zip(dets, orig_imgs, paths):
+            det = det[det[:, 4] > 0]
+            if len(det):
+                det = det.copy()
+                det[:, :4] = scale_boxes_np(input_hw, det[:, :4], im0.shape[:2])
+            results.append(Results(im0, path, self.model.names, det.astype(np.float32)))
+        return results

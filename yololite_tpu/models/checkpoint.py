@@ -33,6 +33,12 @@ from yololite_tpu.models.model import DetectionModel, guess_model_scale
 class _Stub:
     """Generic unpickle target for unknown (reference) classes."""
 
+    def __new__(cls, *args, **kwargs):
+        return object.__new__(cls)
+
+    def __init__(self, *args, **kwargs):
+        pass
+
     def __setstate__(self, d):
         if isinstance(d, dict):
             self.__dict__.update(d)
@@ -41,11 +47,14 @@ class _Stub:
 
 
 class _StubUnpickler(pickle.Unpickler):
-    _SAFE_PREFIXES = ("torch", "collections", "builtins", "numpy", "argparse", "pathlib", "types", "copyreg")
+    _SAFE_ROOTS = {"torch", "collections", "builtins", "numpy", "argparse", "pathlib", "types", "copyreg"}
 
     def find_class(self, module, name):
-        if module.split(".")[0] in {p.split(".")[0] for p in self._SAFE_PREFIXES}:
-            return super().find_class(module, name)
+        if module.split(".")[0] in self._SAFE_ROOTS:
+            try:
+                return super().find_class(module, name)
+            except (AttributeError, ModuleNotFoundError):
+                pass
         return type(name, (_Stub,), {"__module__": module})
 
 
@@ -54,7 +63,12 @@ def _torch_load_stubbed(path):
     import torch
 
     stub_pickle = SimpleNamespace(
-        Unpickler=_StubUnpickler, load=pickle.load, loads=pickle.loads, dump=pickle.dump, dumps=pickle.dumps
+        __name__="stub_pickle",
+        Unpickler=_StubUnpickler,
+        load=pickle.load,
+        loads=pickle.loads,
+        dump=pickle.dump,
+        dumps=pickle.dumps,
     )
     return torch.load(path, map_location="cpu", pickle_module=stub_pickle, weights_only=False)
 

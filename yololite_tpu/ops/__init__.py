@@ -1,0 +1,20 @@
+"""Device-side ops: box algebra, decode, NMS, preprocessing."""
+
+from yololite_tpu.ops.boxes import (
+    bbox2dist,
+    bbox_iou,
+    box_iou,
+    clip_boxes_np,
+    dist2bbox,
+    ltwh2xyxy,
+    make_anchors,
+    scale_boxes_np,
+    xywh2xyxy,
+    xywhn2xyxy,
+    xyxy2ltwh,
+    xyxy2xywh,
+    xyxy2xywhn,
+)
+from yololite_tpu.ops.decode import decode_detections, dfl_expectation, flatten_levels
+from yololite_tpu.ops.letterbox import LetterBox, preprocess_batch
+from yololite_tpu.ops.nms import non_max_suppression

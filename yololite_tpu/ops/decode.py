@@ -1,0 +1,51 @@
+"""Device-side decode: raw Detect maps -> (boxes, scores), fully inside jit.
+
+Replaces the reference's Detect._inference (head.py:95-126): DFL softmax-projection,
+dist2bbox around a statically-computed anchor grid, stride scaling, sigmoid scores.
+Anchors are trace-time constants (static shapes), so there is no shape-keyed cache.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from yololite_tpu.ops.boxes import dist2bbox, make_anchors
+
+
+def flatten_levels(feats: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """[(B,H,W,C)...] -> (B, sum(H*W), C) preserving level order."""
+    return jnp.concatenate([f.reshape(f.shape[0], -1, f.shape[-1]) for f in feats], axis=1)
+
+
+def dfl_expectation(box_logits: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
+    """(B, A, 4*reg_max) -> (B, A, 4) expected ltrb via softmax-weighted bins."""
+    b, a, _ = box_logits.shape
+    x = box_logits.reshape(b, a, 4, reg_max)
+    proj = jnp.arange(reg_max, dtype=x.dtype)
+    return jnp.einsum("bafr,r->baf", jax.nn.softmax(x, axis=-1), proj)
+
+
+def decode_detections(
+    feats: Sequence[jnp.ndarray],
+    strides: Sequence[int],
+    nc: int,
+    reg_max: int = 16,
+    xywh: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode per-level Detect maps.
+
+    Returns:
+        boxes: (B, A, 4) in input-image pixels (xyxy by default).
+        scores: (B, A, nc) sigmoid class probabilities.
+    """
+    shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    anchors, stride_t = make_anchors(shapes, strides, 0.5)  # (A,2), (A,1)
+    x = flatten_levels(feats)  # (B, A, 4*reg_max + nc)
+    box_logits, cls_logits = x[..., : 4 * reg_max], x[..., 4 * reg_max :]
+    dist = dfl_expectation(box_logits, reg_max)  # (B, A, 4) in stride units
+    boxes = dist2bbox(dist, anchors[None], xywh=xywh) * stride_t[None]
+    scores = jax.nn.sigmoid(cls_logits)
+    return boxes, scores

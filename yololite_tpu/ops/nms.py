@@ -1,0 +1,137 @@
+"""On-device batched non-max suppression (fixed shapes, jit/vmap-friendly).
+
+Replaces the reference's host round-trip through torchvision.ops.nms
+(utils/ops.py:138-273): candidate gating, class-offset trick, greedy suppression
+and max_det capping all run on device and return a padded (B, max_det, 6) tensor
+[x1, y1, x2, y2, conf, cls] with conf==0 marking empty slots.
+
+Greedy order matches torchvision (score-descending, suppress IoU > threshold), so
+mAP parity holds; a fast matrix variant ("fast" mode) trades exactness for a
+single pass when throughput matters more than tie-level parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from yololite_tpu.ops.boxes import box_iou
+
+MAX_WH = 7680  # class-offset magnitude (reference ops.py:151)
+
+
+def _greedy_keep(iou: jnp.ndarray, valid: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
+    """Sequential greedy suppression over score-sorted candidates.
+
+    iou: (K, K) pairwise IoU (class-offset boxes), valid: (K,) initial mask.
+    keep[j] survives unless some earlier kept i has iou[i, j] > threshold.
+    """
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+
+    def body(keep, i):
+        suppress = (iou[i] > iou_thres) & keep[i] & (idx > i)
+        return keep & ~suppress, None
+
+    keep, _ = jax.lax.scan(body, valid, idx)
+    return keep
+
+
+def _fast_keep(iou: jnp.ndarray, valid: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
+    """One-shot matrix NMS (Fast-NMS): suppressed boxes still suppress others."""
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+    triu = (idx[:, None] < idx[None, :]) & valid[:, None]
+    max_iou = jnp.max(jnp.where(triu, iou, 0.0), axis=0)
+    return valid & (max_iou <= iou_thres)
+
+
+def _single_image_nms(
+    boxes: jnp.ndarray,  # (A, 4) xyxy
+    scores: jnp.ndarray,  # (A, nc)
+    conf_thres: float,
+    iou_thres: float,
+    max_det: int,
+    max_cand: int,
+    multi_label: bool,
+    agnostic: bool,
+    class_mask: Optional[jnp.ndarray],  # (nc,) bool or None
+    mode: str,
+) -> jnp.ndarray:
+    a, nc = scores.shape
+
+    if class_mask is not None:
+        scores = jnp.where(class_mask[None, :], scores, 0.0)
+
+    if multi_label and nc > 1:
+        k = min(max_cand, a * nc)
+        flat = scores.reshape(-1)
+        gated = jnp.where(flat > conf_thres, flat, -1.0)
+        vals, fidx = jax.lax.top_k(gated, k)
+        bidx = fidx // nc
+        cls = (fidx % nc).astype(jnp.float32)
+    else:
+        k = min(max_cand, a)
+        conf = jnp.max(scores, axis=-1)
+        cls_i = jnp.argmax(scores, axis=-1)
+        gated = jnp.where(conf > conf_thres, conf, -1.0)
+        vals, bidx = jax.lax.top_k(gated, k)
+        cls = cls_i[bidx].astype(jnp.float32)
+
+    cand_boxes = boxes[bidx]  # (K, 4)
+    valid = vals > jnp.maximum(conf_thres, 0.0)
+
+    offset = jnp.where(agnostic, 0.0, cls * MAX_WH)
+    shifted = cand_boxes + offset[:, None]
+    iou = box_iou(shifted, shifted)
+    keep = _fast_keep(iou, valid, iou_thres) if mode == "fast" else _greedy_keep(iou, valid, iou_thres)
+
+    final_scores = jnp.where(keep, vals, -1.0)
+    out_vals, oidx = jax.lax.top_k(final_scores, min(max_det, k))
+    ok = out_vals > 0
+    out = jnp.concatenate(
+        [
+            cand_boxes[oidx],
+            jnp.where(ok, out_vals, 0.0)[:, None],
+            cls[oidx][:, None],
+        ],
+        axis=-1,
+    )
+    out = jnp.where(ok[:, None], out, 0.0)
+    if out.shape[0] < max_det:  # pad up to max_det rows
+        out = jnp.pad(out, ((0, max_det - out.shape[0]), (0, 0)))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("conf_thres", "iou_thres", "max_det", "max_cand", "multi_label", "agnostic", "mode"),
+)
+def non_max_suppression(
+    boxes: jnp.ndarray,  # (B, A, 4) xyxy, input-image pixels
+    scores: jnp.ndarray,  # (B, A, nc) sigmoid probabilities
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    max_cand: int = 1024,
+    multi_label: bool = False,
+    agnostic: bool = False,
+    class_mask: Optional[jnp.ndarray] = None,
+    mode: str = "greedy",
+) -> jnp.ndarray:
+    """Batched class-aware NMS -> (B, max_det, 6) padded detections."""
+    fn = functools.partial(
+        _single_image_nms,
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        max_det=max_det,
+        max_cand=max_cand,
+        multi_label=multi_label,
+        agnostic=agnostic,
+        class_mask=class_mask,
+        mode=mode,
+    )
+    return jax.vmap(fn)(boxes, scores)

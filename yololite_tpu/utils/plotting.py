@@ -1,0 +1,149 @@
+"""Plotting utilities: color palette, box annotator, batch mosaics, result curves.
+
+Host-side (cv2/matplotlib), functionally matching the reference's plotting layer
+(utils/plotting.py:18-1091) with a leaner implementation.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class Colors:
+    """Ultralytics-style fixed palette, indexed by class id."""
+
+    def __init__(self):
+        hexs = (
+            "042AFF", "0BDBEB", "F3F3F3", "00DFB7", "111F68", "FF6FDD", "FF444F",
+            "CCED00", "00F344", "BD00FF", "00B4FF", "DD00BA", "00FFFF", "26C000",
+            "01FFB3", "7D24FF", "7B0068", "FF1B6C", "FC6D2F", "A2FF0B",
+        )
+        self.palette = [self.hex2rgb(f"#{c}") for c in hexs]
+        self.n = len(self.palette)
+
+    @staticmethod
+    def hex2rgb(h):
+        return tuple(int(h[1 + i : 1 + i + 2], 16) for i in (0, 2, 4))
+
+    def __call__(self, i, bgr=False):
+        c = self.palette[int(i) % self.n]
+        return (c[2], c[1], c[0]) if bgr else c
+
+
+colors = Colors()
+
+
+class Annotator:
+    """cv2-based box/label drawing on a BGR uint8 image."""
+
+    def __init__(self, im: np.ndarray, line_width: Optional[int] = None, font_size: Optional[float] = None):
+        import cv2
+
+        self.cv2 = cv2
+        self.im = np.ascontiguousarray(im)
+        self.lw = line_width or max(round(sum(im.shape[:2]) / 2 * 0.003), 2)
+        self.fs = font_size or max(self.lw - 1, 1) * 0.4
+
+    def box_label(self, box, label=None, color=(128, 128, 128), txt_color=(255, 255, 255)):
+        cv2 = self.cv2
+        p1, p2 = (int(box[0]), int(box[1])), (int(box[2]), int(box[3]))
+        cv2.rectangle(self.im, p1, p2, color, thickness=self.lw, lineType=cv2.LINE_AA)
+        if label:
+            tf = max(self.lw - 1, 1)
+            w, h = cv2.getTextSize(label, 0, fontScale=self.fs, thickness=tf)[0]
+            outside = p1[1] - h >= 3
+            p2t = (p1[0] + w, p1[1] - h - 3 if outside else p1[1] + h + 3)
+            cv2.rectangle(self.im, p1, p2t, color, -1, cv2.LINE_AA)
+            cv2.putText(
+                self.im, label, (p1[0], p1[1] - 2 if outside else p1[1] + h + 2),
+                0, self.fs, txt_color, thickness=tf, lineType=cv2.LINE_AA,
+            )
+
+    def result(self) -> np.ndarray:
+        return self.im
+
+
+def plot_images(images: np.ndarray, batch_idx, cls, bboxes, paths=None, fname="batch.jpg", names=None,
+                max_subplots=16, conf=None):
+    """Save a grid mosaic of images with their (normalized-or-pixel) xywh boxes.
+
+    images: (B, H, W, 3) float [0,1] or uint8 NHWC.
+    """
+    import cv2
+
+    bs = min(len(images), max_subplots)
+    ns = int(np.ceil(bs**0.5))
+    h, w = images.shape[1:3]
+    if images.dtype != np.uint8:
+        images = (images * 255).astype(np.uint8)
+    mosaic = np.full((ns * h, ns * w, 3), 255, np.uint8)
+    for i in range(bs):
+        r, c = i // ns, i % ns
+        mosaic[r * h : (r + 1) * h, c * w : (c + 1) * w] = images[i][..., ::-1]  # RGB->BGR
+    ann = Annotator(mosaic, line_width=2)
+    for i in range(bs):
+        r, c = i // ns, i % ns
+        ox, oy = c * w, r * h
+        sel = np.asarray(batch_idx) == i
+        for b, k in zip(np.asarray(bboxes)[sel], np.asarray(cls)[sel]):
+            cx, cy, bw, bh = b[:4]
+            if max(b[:4]) <= 1.1:  # normalized
+                cx, cy, bw, bh = cx * w, cy * h, bw * w, bh * h
+            box = (ox + cx - bw / 2, oy + cy - bh / 2, ox + cx + bw / 2, oy + cy + bh / 2)
+            name = (names or {}).get(int(k), str(int(k)))
+            ann.box_label(box, name, color=colors(int(k), True))
+    Path(fname).parent.mkdir(parents=True, exist_ok=True)
+    cv2.imwrite(str(fname), ann.result())
+
+
+def plot_results(csv_file="results.csv", dir_=""):
+    """Plot training curves from results.csv (loss/metric columns over epochs)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    csv_file = Path(csv_file)
+    import csv as _csv
+
+    with open(csv_file) as f:
+        rows = list(_csv.reader(f))
+    header = [h.strip() for h in rows[0]]
+    data = np.array([[float(v) for v in r] for r in rows[1:]], dtype=np.float64)
+    n = len(header) - 1
+    ncols = min(n, 5)
+    nrows = int(np.ceil(n / ncols))
+    fig, axes = plt.subplots(nrows, ncols, figsize=(4 * ncols, 3 * nrows), squeeze=False)
+    for i, name in enumerate(header[1:]):
+        ax = axes[i // ncols][i % ncols]
+        ax.plot(data[:, 0], data[:, i + 1], marker=".")
+        ax.set_title(name, fontsize=9)
+    fig.tight_layout()
+    out = csv_file.with_name("results.png")
+    fig.savefig(out, dpi=200)
+    plt.close(fig)
+    return out
+
+
+def plot_labels(boxes: np.ndarray, cls: np.ndarray, names: Dict[int, str], save_dir=Path(".")):
+    """Histogram of classes + box w/h scatter, saved as labels.jpg."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    if len(cls):
+        axes[0].hist(cls, bins=max(int(cls.max()) + 1, 1))
+    axes[0].set_title("classes")
+    if len(boxes):
+        axes[1].scatter(boxes[:, 2], boxes[:, 3], s=2, alpha=0.4)
+    axes[1].set_title("wh")
+    fig.tight_layout()
+    fig.savefig(save_dir / "labels.jpg", dpi=150)
+    plt.close(fig)
