@@ -1,0 +1,242 @@
+"""Detection validator: batched device inference + host mAP accounting.
+
+Counterpart of reference engine/validator.py:22-522. TPU-first differences:
+val batches are square letterboxed (single compiled shape) instead of rect
+buckets, the forward+decode+NMS is one jitted graph, and per-image TP matching
+runs vectorized numpy on host (greedy IoU-sorted unique matching at 10 IoU
+thresholds, validator.py:195-233).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yololite_tpu.cfg import get_cfg, get_save_dir
+from yololite_tpu.data.dataset import build_dataloader, build_yolo_dataset
+from yololite_tpu.data.utils import check_det_dataset
+from yololite_tpu.ops.boxes import scale_boxes_np, xywh2xyxy
+from yololite_tpu.ops.decode import decode_detections
+from yololite_tpu.ops.nms import non_max_suppression
+from yololite_tpu.utils import LOGGER, TQDM, colorstr
+from yololite_tpu.utils.checks import check_imgsz
+from yololite_tpu.utils.metrics import ConfusionMatrix, DetMetrics, box_iou
+from yololite_tpu.utils.profile import Profile
+
+
+class DetectionValidator:
+    """Runs evaluation over a dataset split and computes mAP metrics."""
+
+    def __init__(self, dataloader=None, save_dir: Optional[Path] = None, args=None):
+        self.args = get_cfg(overrides=args)
+        self.dataloader = dataloader
+        self.save_dir = save_dir or get_save_dir(self.args)
+        self.args.conf = self.args.conf or 0.001
+        self.args.task = "detect"
+        self.metrics = DetMetrics(save_dir=self.save_dir, plot=self.args.plots)
+        self.iouv = np.linspace(0.5, 0.95, 10)
+        self.niou = self.iouv.size
+        self.seen = 0
+        self.stats: Dict[str, list] = {}
+        self.jdict: List = []
+        self.speed = {"preprocess": 0.0, "inference": 0.0, "loss": 0.0, "postprocess": 0.0}
+        self._infer = None
+
+    # ---- setup ----
+
+    def _build_infer(self, model, half: bool):
+        nc, strides, reg_max = model.nc, model.strides, model.reg_max
+        conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
+
+        @jax.jit
+        def _infer(params, state, images):
+            x = images.astype(jnp.bfloat16) if half else images
+            feats = model.apply(params, state, x, train=False)
+            feats = [f.astype(jnp.float32) for f in feats]
+            boxes, scores = decode_detections(feats, strides, nc, reg_max, xywh=False)
+            return non_max_suppression(
+                boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det,
+                max_cand=2048, multi_label=True, agnostic=bool(self.args.single_cls),
+            )
+
+        return _infer
+
+    # ---- main entry ----
+
+    def __call__(self, trainer=None, model=None, params=None, state=None):
+        """Validate `model` (DetectionModel + pytrees) or a trainer's EMA weights."""
+        if trainer is not None:
+            model = trainer.model
+            params = trainer.ema.ema_params if trainer.ema else trainer.params
+            state = trainer.state
+            self.args.batch = trainer.args.batch
+            self.data = trainer.data
+            self.args.plots &= trainer.stop_training or (trainer.epoch == trainer.epochs - 1)
+        else:
+            self.data = check_det_dataset(self.args.data)
+        self.names = self.data.get("names", model.names)
+        self.nc = len(self.names)
+        model.names = self.names
+        self.metrics.names = self.names
+        self.confusion_matrix = ConfusionMatrix(nc=self.nc, conf=self.args.conf)
+
+        self.imgsz = check_imgsz(self.args.imgsz, stride=32, min_dim=2)
+        if self.dataloader is None:
+            dataset = build_yolo_dataset(
+                self.args, self.data[self.args.split], self.args.batch, self.data, mode="val", stride=32
+            )
+            self.dataloader = build_dataloader(dataset, self.args.batch, self.args.workers, shuffle=False)
+
+        self._infer = self._build_infer(model, half=bool(self.args.half))
+        params = jax.device_put(params)
+        state = jax.device_put(state)
+
+        self.seen = 0
+        self.stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": [], "target_img": []}
+        profilers = (Profile(), Profile(), Profile())
+        n_batches = len(self.dataloader)
+        bar = TQDM(self.dataloader, total=n_batches, desc="val")
+        batch_size = int(self.args.batch)
+
+        for batch in bar:
+            with profilers[0]:
+                im = batch["img"]
+                n = im.shape[0]
+                if n < batch_size:
+                    im = np.concatenate([im, np.zeros((batch_size - n, *im.shape[1:]), im.dtype)])
+            with profilers[1]:
+                dets = np.asarray(jax.block_until_ready(self._infer(params, state, jnp.asarray(im))))[:n]
+            with profilers[2]:
+                self.update_metrics(dets, batch)
+
+        stats = self.get_stats()
+        self.speed = {
+            k: profilers[i].t / max(self.seen, 1) * 1e3
+            for i, k in enumerate(("preprocess", "inference", "postprocess"))
+        }
+        self.print_results()
+        if self.args.plots:
+            try:
+                self.confusion_matrix.plot(save_dir=self.save_dir, names=self.names)
+            except Exception:
+                pass
+        if self.args.save_json and self.jdict:
+            self.save_dir.mkdir(parents=True, exist_ok=True)
+            with open(self.save_dir / "predictions.json", "w") as f:
+                json.dump(self.jdict, f)
+        self.metrics.speed = self.speed
+        return stats
+
+    # ---- per-batch metric update ----
+
+    def _prepare_batch(self, si: int, batch) -> Dict:
+        """Ground truth for image si, rescaled to original-image pixels."""
+        idx = batch["batch_idx"] == si
+        cls = batch["cls"][idx].reshape(-1)
+        bbox = batch["bboxes"][idx]
+        ori_shape = batch["ori_shape"][si]
+        imgsz = batch["img"].shape[1:3]
+        ratio_pad = batch["ratio_pad"][si]
+        if len(cls):
+            bbox = xywh2xyxy(bbox) * np.array([imgsz[1], imgsz[0], imgsz[1], imgsz[0]], np.float32)
+            bbox = scale_boxes_np(imgsz, bbox, ori_shape)
+        return {"cls": cls, "bbox": bbox, "ori_shape": ori_shape, "imgsz": imgsz, "ratio_pad": ratio_pad}
+
+    def _prepare_pred(self, det: np.ndarray, pbatch: Dict) -> np.ndarray:
+        det = det[det[:, 4] > 0].copy()
+        if len(det):
+            det[:, :4] = scale_boxes_np(pbatch["imgsz"], det[:, :4], pbatch["ori_shape"])
+        if self.args.single_cls:
+            det[:, 5] = 0
+        return det
+
+    def update_metrics(self, dets: np.ndarray, batch):
+        for si, det in enumerate(dets):
+            self.seen += 1
+            pbatch = self._prepare_batch(si, batch)
+            cls, bbox = pbatch["cls"], pbatch["bbox"]
+            predn = self._prepare_pred(det, pbatch)
+            npr = len(predn)
+            stat = {
+                "conf": predn[:, 4] if npr else np.zeros(0),
+                "pred_cls": predn[:, 5] if npr else np.zeros(0),
+                "tp": np.zeros((npr, self.niou), bool),
+                "target_cls": cls,
+                "target_img": np.unique(cls),
+            }
+            if npr and len(cls):
+                stat["tp"] = self._process_batch(predn, bbox, cls)
+            if self.args.plots:
+                self.confusion_matrix.process_batch(predn, bbox, cls)
+            for k in self.stats:
+                self.stats[k].append(stat[k])
+            if self.args.save_json:
+                self.pred_to_json(predn, batch["im_file"][si])
+
+    def _process_batch(self, detections: np.ndarray, gt_bboxes: np.ndarray, gt_cls: np.ndarray) -> np.ndarray:
+        iou = np.asarray(box_iou(gt_bboxes, detections[:, :4]))
+        return self.match_predictions(detections[:, 5], gt_cls, iou)
+
+    def match_predictions(self, pred_classes, true_classes, iou) -> np.ndarray:
+        """Greedy IoU-sorted unique matching at each of the 10 IoU thresholds."""
+        correct = np.zeros((pred_classes.shape[0], self.iouv.shape[0]), bool)
+        correct_class = true_classes[:, None] == pred_classes[None, :]
+        iou = iou * correct_class
+        for i, threshold in enumerate(self.iouv):
+            matches = np.array(np.nonzero(iou >= threshold)).T  # (n, 2): [label, detection]
+            if matches.shape[0]:
+                if matches.shape[0] > 1:
+                    matches = matches[iou[matches[:, 0], matches[:, 1]].argsort()[::-1]]
+                    matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
+                    matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
+                correct[matches[:, 1].astype(int), i] = True
+        return correct
+
+    # ---- reporting ----
+
+    def get_stats(self) -> Dict:
+        stats = {k: np.concatenate(v, 0) if v else np.zeros(0) for k, v in self.stats.items()}
+        self.nt_per_class = np.bincount(stats["target_cls"].astype(int), minlength=self.nc) if stats[
+            "target_cls"
+        ].size else np.zeros(self.nc, int)
+        self.nt_per_image = np.bincount(stats["target_img"].astype(int), minlength=self.nc) if stats[
+            "target_img"
+        ].size else np.zeros(self.nc, int)
+        if stats["tp"].size or stats["conf"].size:
+            self.metrics.process(stats["tp"], stats["conf"], stats["pred_cls"], stats["target_cls"])
+        return self.metrics.results_dict
+
+    def print_results(self):
+        pf = "%22s" + "%11i" * 2 + "%11.3g" * 4
+        LOGGER.info(("%22s" + "%11s" * 6) % ("Class", "Images", "Instances", "P", "R", "mAP50", "mAP50-95"))
+        LOGGER.info(pf % ("all", self.seen, self.nt_per_class.sum(), *self.metrics.mean_results()))
+        if self.nt_per_class.sum() == 0:
+            LOGGER.warning(f"no labels found in {self.args.split} set, can not compute metrics")
+        if self.args.verbose and self.nc > 1 and len(self.metrics.box.ap_class_index):
+            for i, c in enumerate(self.metrics.ap_class_index):
+                LOGGER.info(
+                    pf % (self.names[c], self.nt_per_image[c], self.nt_per_class[c], *self.metrics.class_result(i))
+                )
+
+    def pred_to_json(self, predn: np.ndarray, filename):
+        """Append COCO-format detection dicts (reference validator.py:466-481)."""
+        stem = Path(filename).stem
+        image_id = int(stem) if stem.isnumeric() else stem
+        box = predn[:, :4].copy()
+        box[:, 2:] -= box[:, :2]  # xyxy -> ltwh
+        box[:, :2] -= 0  # top-left already
+        for p, b in zip(predn.tolist(), box.tolist()):
+            self.jdict.append(
+                {
+                    "image_id": image_id,
+                    "category_id": int(p[5]),
+                    "bbox": [round(x, 3) for x in b],
+                    "score": round(p[4], 5),
+                }
+            )
