@@ -1,0 +1,87 @@
+"""Loss parity vs the reference v8DetectionLoss on identical feats + targets."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE, reference_available
+
+import jax.numpy as jnp
+
+from yololite_tpu.utils.loss import build_targets, v8DetectionLoss
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference mount not present")
+def test_loss_parity_vs_reference():
+    import sys
+
+    sys.path.insert(0, str(REFERENCE))
+    import torch
+    from types import SimpleNamespace
+    from yololite.utils.loss import v8DetectionLoss as RefLoss
+    from tests.test_model_parity import _build_reference_model
+
+    tm = _build_reference_model("n")
+    tm.args = SimpleNamespace(box=7.5, cls=0.5, dfl=1.5)
+    tm.train()
+    ref_loss = RefLoss(tm)
+
+    B, S = 2, 128
+    rng = np.random.default_rng(5)
+    img = rng.standard_normal((B, 3, S, S), dtype=np.float32)
+
+    # ragged targets: 3 + 1 boxes, normalized xywh
+    batch_idx = np.array([0, 0, 0, 1], np.float32)
+    cls = np.array([[1.0], [3.0], [7.0], [2.0]], np.float32)
+    bboxes = np.array(
+        [[0.5, 0.5, 0.4, 0.3], [0.3, 0.2, 0.2, 0.2], [0.7, 0.7, 0.25, 0.4], [0.4, 0.6, 0.5, 0.5]], np.float32
+    )
+    t_batch = {
+        "batch_idx": torch.from_numpy(batch_idx),
+        "cls": torch.from_numpy(cls),
+        "bboxes": torch.from_numpy(bboxes),
+    }
+    with torch.no_grad():
+        feats_t = tm.model[:-1] if False else None
+        preds = tm(torch.from_numpy(img))  # train mode -> list of 3 feature maps
+        t_total, t_items = ref_loss(preds, t_batch)
+
+    # our loss on the same feature maps (converted to NHWC)
+    feats_j = [jnp.asarray(f.detach().numpy().transpose(0, 2, 3, 1)) for f in preds]
+    loss = v8DetectionLoss(nc=80, strides=[8, 16, 32], hyp=SimpleNamespace(box=7.5, cls=0.5, dfl=1.5))
+    targets = build_targets(
+        {"batch_idx": batch_idx, "cls": cls, "bboxes": bboxes}, B, (S, S), max_gt=8
+    )
+    j_total, j_items = loss(feats_j, {k: jnp.asarray(v) for k, v in targets.items()})
+
+    np.testing.assert_allclose(np.asarray(j_items), t_items.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(j_total), float(t_total), rtol=1e-4)
+
+
+def test_loss_gradients_finite():
+    """Grad of the full loss wrt feature maps is finite with and without GT."""
+    import jax
+
+    loss = v8DetectionLoss(nc=4, strides=[8, 16, 32])
+    B, S = 1, 64
+    shapes = [(S // s, S // s) for s in (8, 16, 32)]
+    rng = np.random.default_rng(0)
+    feats = [jnp.asarray(rng.standard_normal((B, h, w, 4 + 64), dtype=np.float32)) for h, w in shapes]
+
+    targets = build_targets(
+        {"batch_idx": np.array([0.0]), "cls": np.array([[1.0]]), "bboxes": np.array([[0.5, 0.5, 0.5, 0.5]])},
+        B, (S, S), max_gt=4,
+    )
+    targets = {k: jnp.asarray(v) for k, v in targets.items()}
+
+    def f(feats):
+        return loss(feats, targets)[0]
+
+    grads = jax.grad(f)(feats)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+
+    # empty-GT batch
+    targets0 = {k: jnp.zeros_like(v) for k, v in targets.items()}
+    grads0 = jax.grad(lambda fs: loss(fs, targets0)[0])(feats)
+    for g in grads0:
+        assert np.isfinite(np.asarray(g)).all()

@@ -1,0 +1,137 @@
+"""v8 detection loss in pure JAX (BCE cls + CIoU box + DFL), fully jittable.
+
+Counterpart of reference utils/loss.py:12-160. Differences are all shape-related:
+targets arrive padded to a static (B, M, 5) block (the reference builds ragged
+targets with a per-image Python loop, loss.py:85-101), and the fg_mask boolean
+indexing becomes masked weighted sums.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yololite_tpu.ops.boxes import bbox2dist, bbox_iou, dist2bbox, make_anchors, xywh2xyxy
+from yololite_tpu.ops.decode import flatten_levels
+from yololite_tpu.utils.tal import TaskAlignedAssigner
+
+
+def build_targets(batch: Dict, batch_size: int, imgsz: Tuple[int, int], max_gt: int) -> Dict[str, np.ndarray]:
+    """Host-side: ragged (batch_idx, cls, bboxes-xywhn) -> padded static arrays.
+
+    Returns gt_labels (B,M,1) int32, gt_bboxes (B,M,4) xyxy pixels, mask_gt (B,M,1).
+    """
+    bi = np.asarray(batch["batch_idx"]).reshape(-1).astype(int)
+    cls = np.asarray(batch["cls"]).reshape(-1)
+    boxes = np.asarray(batch["bboxes"]).reshape(-1, 4)
+    h, w = imgsz
+    gt_labels = np.zeros((batch_size, max_gt, 1), np.int32)
+    gt_bboxes = np.zeros((batch_size, max_gt, 4), np.float32)
+    mask_gt = np.zeros((batch_size, max_gt, 1), np.float32)
+    for b in range(batch_size):
+        sel = np.nonzero(bi == b)[0][:max_gt]
+        n = len(sel)
+        if n:
+            gt_labels[b, :n, 0] = cls[sel]
+            xyxy = xywh2xyxy(boxes[sel] * np.array([w, h, w, h], np.float32))
+            gt_bboxes[b, :n] = xyxy
+            # reference masks on bbox coordinate sum > 0 (loss.py:123)
+            mask_gt[b, :n, 0] = (xyxy.sum(-1) > 0).astype(np.float32)
+    return {"gt_labels": gt_labels, "gt_bboxes": gt_bboxes, "mask_gt": mask_gt}
+
+
+class v8DetectionLoss:
+    """Functional loss: __call__(feats, targets) -> (total_loss, loss_items)."""
+
+    def __init__(self, nc: int, strides: Sequence[int], reg_max: int = 16, hyp=None, tal_topk: int = 10):
+        self.nc = nc
+        self.strides = list(strides)
+        self.reg_max = reg_max
+        self.no = nc + reg_max * 4
+        self.use_dfl = reg_max > 1
+        self.hyp_box = float(getattr(hyp, "box", 7.5))
+        self.hyp_cls = float(getattr(hyp, "cls", 0.5))
+        self.hyp_dfl = float(getattr(hyp, "dfl", 1.5))
+        self.assigner = TaskAlignedAssigner(topk=tal_topk, num_classes=nc, alpha=0.5, beta=6.0)
+
+    def bbox_decode(self, anchor_points: jnp.ndarray, pred_dist: jnp.ndarray) -> jnp.ndarray:
+        """DFL expectation -> xyxy boxes in anchor (stride) units."""
+        if self.use_dfl:
+            b, a, c = pred_dist.shape
+            x = pred_dist.reshape(b, a, 4, c // 4)
+            proj = jnp.arange(self.reg_max, dtype=x.dtype)
+            pred_dist = jnp.einsum("bafr,r->baf", jax.nn.softmax(x, axis=-1), proj)
+        return dist2bbox(pred_dist, anchor_points, xywh=False)
+
+    def _df_loss(self, pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        """Distribution focal loss (reference loss.py:21-36).
+
+        pred_dist: (B, A, 4, reg_max) logits; target: (B, A, 4) continuous bins.
+        Returns (B, A, 1): mean over the 4 sides.
+        """
+        target = target.clip(0, self.reg_max - 1 - 0.01)
+        tl = target.astype(jnp.int32)
+        tr = tl + 1
+        wl = tr.astype(target.dtype) - target
+        wr = 1 - wl
+        logp = jax.nn.log_softmax(pred_dist, axis=-1)
+        ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1).squeeze(-1)
+        ce_r = -jnp.take_along_axis(logp, tr.clip(max=self.reg_max - 1)[..., None], axis=-1).squeeze(-1)
+        return (ce_l * wl + ce_r * wr).mean(-1, keepdims=True)
+
+    def __call__(self, feats: List[jnp.ndarray], targets: Dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """feats: per-level (B, H, W, no) NHWC maps; targets: padded gt dict."""
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        x = flatten_levels(feats)  # (B, A, no)
+        pred_distri, pred_scores = x[..., : self.reg_max * 4], x[..., self.reg_max * 4 :]
+        dtype = pred_scores.dtype
+        batch_size, A = pred_scores.shape[:2]
+        anchor_points, stride_tensor = make_anchors(shapes, self.strides, 0.5)
+
+        gt_labels = targets["gt_labels"]
+        gt_bboxes = targets["gt_bboxes"]  # xyxy pixels
+        mask_gt = targets["mask_gt"]
+
+        pred_bboxes = self.bbox_decode(anchor_points, pred_distri)  # (B, A, 4) anchor units
+
+        _, target_bboxes, target_scores, fg_mask, _ = self.assigner(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(pred_bboxes * stride_tensor).astype(gt_bboxes.dtype),
+            anchor_points * stride_tensor,
+            gt_labels,
+            gt_bboxes,
+            mask_gt,
+        )
+
+        target_scores_sum = jnp.maximum(target_scores.sum(), 1)
+
+        # cls: BCE-with-logits, sum-normalized (loss.py:147)
+        bce = optax_sigmoid_bce(pred_scores, target_scores.astype(dtype))
+        loss_cls = bce.sum() / target_scores_sum
+
+        # box + dfl, masked on fg
+        fg = fg_mask.astype(dtype)  # (B, A)
+        target_bboxes = target_bboxes / stride_tensor
+        weight = target_scores.sum(-1) * fg  # (B, A)
+        iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True)
+        loss_box = ((1.0 - iou) * weight).sum() / target_scores_sum
+
+        if self.use_dfl:
+            target_ltrb = bbox2dist(anchor_points, target_bboxes, self.reg_max - 1)
+            df = self._df_loss(
+                pred_distri.reshape(batch_size, A, 4, self.reg_max), target_ltrb
+            ).squeeze(-1)
+            loss_dfl = (df * weight).sum() / target_scores_sum
+        else:
+            loss_dfl = jnp.zeros((), dtype)
+
+        loss_items = jnp.stack([loss_box * self.hyp_box, loss_cls * self.hyp_cls, loss_dfl * self.hyp_dfl])
+        return loss_items.sum() * batch_size, jax.lax.stop_gradient(loss_items)
+
+
+def optax_sigmoid_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable BCEWithLogits (same math as torch's)."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))

@@ -1,0 +1,139 @@
+"""Task-Aligned Assigner in pure fixed-shape JAX.
+
+Re-implementation of the reference TaskAlignedAssigner (utils/tal.py:14-288) with
+every boolean fancy-indexing / scatter replaced by masked dense ops so the whole
+assignment jits into the training step:
+  - candidate-in-gt mask via ltrb deltas
+  - align metric score^alpha * CIoU^beta on the full (B, M, A) grid, masked
+  - top-k selection with duplicate suppression via scatter-add counting
+  - multi-GT conflict resolution by highest overlap (applied unconditionally;
+    identical result when no conflicts exist)
+  - target score normalization by per-GT max metric/overlap
+GT boxes arrive padded to a static M = max_boxes with mask_gt flags.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from yololite_tpu.ops.boxes import bbox_iou
+
+
+def select_candidates_in_gts(xy_centers: jnp.ndarray, gt_bboxes: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    """(A,2) centers x (B,M,4) xyxy -> (B,M,A) bool: center strictly inside box."""
+    lt = gt_bboxes[..., None, :2]  # (B,M,1,2)
+    rb = gt_bboxes[..., None, 2:4]
+    deltas = jnp.concatenate([xy_centers[None, None] - lt, rb - xy_centers[None, None]], axis=-1)
+    return deltas.min(axis=-1) > eps
+
+
+def select_highest_overlaps(mask_pos: jnp.ndarray, overlaps: jnp.ndarray, n_max_boxes: int):
+    """Resolve anchors assigned to multiple GTs by keeping the highest-IoU GT.
+
+    mask_pos/overlaps: (B, M, A). Returns (target_gt_idx (B,A), fg_mask (B,A), mask_pos).
+    """
+    fg_mask = mask_pos.sum(axis=-2)  # (B,A)
+    mask_multi = (fg_mask[:, None, :] > 1)  # (B,1,A) -> broadcast (B,M,A)
+    max_overlaps_idx = overlaps.argmax(axis=1)  # (B,A)
+    is_max = jax.nn.one_hot(max_overlaps_idx, n_max_boxes, dtype=mask_pos.dtype).transpose(0, 2, 1)
+    mask_pos = jnp.where(mask_multi, is_max, mask_pos)
+    fg_mask = mask_pos.sum(axis=-2)
+    target_gt_idx = mask_pos.argmax(axis=-2)  # (B,A)
+    return target_gt_idx, fg_mask, mask_pos
+
+
+class TaskAlignedAssigner:
+    """Functional TAL assigner: __call__ is jit/vmap-safe with static M."""
+
+    def __init__(self, topk: int = 13, num_classes: int = 80, alpha: float = 1.0, beta: float = 6.0,
+                 eps: float = 1e-9):
+        self.topk = topk
+        self.num_classes = num_classes
+        self.bg_idx = num_classes
+        self.alpha = alpha
+        self.beta = beta
+        self.eps = eps
+
+    def __call__(
+        self,
+        pd_scores: jnp.ndarray,  # (B, A, nc) sigmoid scores
+        pd_bboxes: jnp.ndarray,  # (B, A, 4) xyxy (image units)
+        anc_points: jnp.ndarray,  # (A, 2)
+        gt_labels: jnp.ndarray,  # (B, M, 1) int
+        gt_bboxes: jnp.ndarray,  # (B, M, 4) xyxy
+        mask_gt: jnp.ndarray,  # (B, M, 1) 0/1
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Returns (target_labels (B,A), target_bboxes (B,A,4), target_scores (B,A,nc),
+        fg_mask (B,A) bool, target_gt_idx (B,A))."""
+        B, A, nc = pd_scores.shape
+        M = gt_bboxes.shape[1]
+        if M == 0:
+            return (
+                jnp.full((B, A), self.bg_idx, jnp.int32),
+                jnp.zeros_like(pd_bboxes),
+                jnp.zeros_like(pd_scores),
+                jnp.zeros((B, A), bool),
+                jnp.zeros((B, A), jnp.int32),
+            )
+
+        mask_pos, align_metric, overlaps = self._get_pos_mask(
+            pd_scores, pd_bboxes, gt_labels, gt_bboxes, anc_points, mask_gt
+        )
+        target_gt_idx, fg_mask, mask_pos = select_highest_overlaps(mask_pos, overlaps, M)
+        target_labels, target_bboxes, target_scores = self._get_targets(gt_labels, gt_bboxes, target_gt_idx, fg_mask)
+
+        # normalize target scores by per-GT peak metric scaled to peak overlap
+        align_metric = align_metric * mask_pos
+        pos_align_metrics = align_metric.max(axis=-1, keepdims=True)  # (B,M,1)
+        pos_overlaps = (overlaps * mask_pos).max(axis=-1, keepdims=True)  # (B,M,1)
+        norm_align_metric = (align_metric * pos_overlaps / (pos_align_metrics + self.eps)).max(axis=-2)[..., None]
+        target_scores = target_scores * norm_align_metric
+
+        return target_labels, target_bboxes, target_scores, fg_mask > 0, target_gt_idx
+
+    def _get_pos_mask(self, pd_scores, pd_bboxes, gt_labels, gt_bboxes, anc_points, mask_gt):
+        mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes).astype(pd_scores.dtype)  # (B,M,A)
+        valid = mask_in_gts * mask_gt  # (B,M,A)
+        align_metric, overlaps = self._get_box_metrics(pd_scores, pd_bboxes, gt_labels, gt_bboxes, valid)
+        mask_topk = self._select_topk_candidates(align_metric, mask_gt)
+        mask_pos = mask_topk * mask_in_gts * mask_gt
+        return mask_pos, align_metric, overlaps
+
+    def _get_box_metrics(self, pd_scores, pd_bboxes, gt_labels, gt_bboxes, mask):
+        """align = score[gt_cls]^alpha * CIoU^beta, zeroed outside the mask."""
+        labels = gt_labels.squeeze(-1).astype(jnp.int32).clip(0)  # (B,M)
+        # per-(gt, anchor) class score: gather class channel per gt
+        scores_t = pd_scores.transpose(0, 2, 1)  # (B, nc, A)
+        bbox_scores = jnp.take_along_axis(scores_t, labels[:, :, None], axis=1)  # (B, M, A)
+        bbox_scores = bbox_scores * mask
+
+        iou = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True)
+        overlaps = jnp.where(mask > 0, iou.clip(0), 0.0)
+
+        align_metric = bbox_scores**self.alpha * overlaps**self.beta
+        return align_metric, overlaps
+
+    def _select_topk_candidates(self, metrics: jnp.ndarray, mask_gt: jnp.ndarray) -> jnp.ndarray:
+        """Top-k per GT with the reference's duplicate-count suppression."""
+        B, M, A = metrics.shape
+        topk_metrics, topk_idxs = jax.lax.top_k(metrics, self.topk)  # (B,M,K)
+        topk_mask = (mask_gt > 0)  # (B,M,1)
+        topk_idxs = jnp.where(topk_mask, topk_idxs, 0)
+        bidx = jnp.arange(B)[:, None, None]
+        midx = jnp.arange(M)[None, :, None]
+        count = jnp.zeros((B, M, A), jnp.int32).at[bidx, midx, topk_idxs].add(1)
+        count = jnp.where(count > 1, 0, count)  # kills the index-0 pileup of masked rows
+        return count.astype(metrics.dtype)
+
+    def _get_targets(self, gt_labels, gt_bboxes, target_gt_idx, fg_mask):
+        B, M = gt_labels.shape[:2]
+        A = target_gt_idx.shape[1]
+        labels_flat = gt_labels.squeeze(-1).astype(jnp.int32).clip(0)  # (B,M)
+        target_labels = jnp.take_along_axis(labels_flat, target_gt_idx, axis=1)  # (B,A)
+        target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)  # (B,A,4)
+        one_hot = jax.nn.one_hot(target_labels, self.num_classes, dtype=gt_bboxes.dtype)  # (B,A,nc)
+        target_scores = jnp.where((fg_mask > 0)[..., None], one_hot, 0.0)
+        return target_labels, target_bboxes, target_scores
