@@ -40,7 +40,7 @@ CFG_INT_KEYS = frozenset(
 CFG_BOOL_KEYS = frozenset(
     {
         "save", "exist_ok", "verbose", "deterministic", "single_cls", "rect", "cos_lr",
-        "resume", "amp", "profile", "multi_scale", "val", "save_json", "save_hybrid",
+        "amp", "profile", "multi_scale", "val", "save_json", "save_hybrid",
         "half", "dnn", "plots", "show", "save_frames", "save_txt", "save_conf", "save_crop",
         "stream_buffer", "visualize", "augment", "agnostic_nms", "show_labels", "show_conf",
         "show_boxes", "keras", "optimize", "int8", "dynamic", "simplify", "nms",

@@ -93,7 +93,8 @@ class DetectionValidator:
             )
             self.dataloader = build_dataloader(dataset, self.args.batch, self.args.workers, shuffle=False)
 
-        self._infer = self._build_infer(model, half=bool(self.args.half))
+        if self._infer is None:
+            self._infer = self._build_infer(model, half=bool(self.args.half))
         params = jax.device_put(params)
         state = jax.device_put(state)
 

@@ -224,6 +224,30 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
     return tree
 
 
+def conform_tree(template: Dict, loaded: Dict) -> Dict:
+    """Re-insert empty subtrees dropped by flatten/unflatten so pytree structures
+    match a freshly-initialized template (needed before jax.tree.map across both)."""
+    if not isinstance(template, dict):
+        return loaded
+    out = {}
+    for k, tv in template.items():
+        if k in loaded:
+            out[k] = conform_tree(tv, loaded[k])
+        elif isinstance(tv, dict) and not _has_leaves(tv):
+            out[k] = {}  # structurally-empty subtree (Upsample/Concat rows, bias-free convs)
+        elif isinstance(tv, dict):
+            out[k] = conform_tree(tv, {})
+        else:
+            raise KeyError(f"checkpoint missing leaf '{k}'")
+    return out
+
+
+def _has_leaves(tree) -> bool:
+    if not isinstance(tree, dict):
+        return True
+    return any(_has_leaves(v) for v in tree.values())
+
+
 def save_native(path, params: Dict, state: Dict, meta: Optional[Dict] = None):
     """Save params/state (+ json meta) to a single .npz container."""
     path = Path(path)

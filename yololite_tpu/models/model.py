@@ -211,7 +211,10 @@ class DetectionModel:
                 inp = y if row.f == -1 else saved[row.f]
             else:
                 inp = [y if j == -1 else saved[j] for j in row.f]
-            y = row.mod(params[str(row.i)], state[str(row.i)], inp, ctx, (str(row.i),))
+            k = str(row.i)
+            # .get: parameterless rows (Upsample/Concat) have empty dicts that a
+            # flatten/unflatten round-trip (npz checkpoints) legitimately drops
+            y = row.mod(params.get(k, {}), state.get(k, {}), inp, ctx, (k,))
             if row.i in self.save:
                 saved[row.i] = y
         return y  # Detect output: list of (B, H, W, no) maps

@@ -172,7 +172,7 @@ class Seq(Module):
 
     def __call__(self, params, state, x, ctx, path=()):
         for i, m in enumerate(self.mods):
-            x = m(params[str(i)], state[str(i)], x, ctx, path + (str(i),))
+            x = m(params.get(str(i), {}), state.get(str(i), {}), x, ctx, path + (str(i),))
         return x
 
 
@@ -188,7 +188,7 @@ class _Composite(Module):
         return params, state
 
     def _apply(self, name, params, state, x, ctx, path):
-        return self.sub[name](params[name], state[name], x, ctx, path + (name,))
+        return self.sub[name](params.get(name, {}), state.get(name, {}), x, ctx, path + (name,))
 
 
 class Bottleneck(_Composite):
@@ -242,7 +242,7 @@ class ModList(Module):
         return params, state
 
     def apply_i(self, i, params, state, x, ctx, path):
-        return self.mods[i](params[str(i)], state[str(i)], x, ctx, path + (str(i),))
+        return self.mods[i](params.get(str(i), {}), state.get(str(i), {}), x, ctx, path + (str(i),))
 
 
 class C2f(_Composite):
@@ -477,7 +477,7 @@ class Detect(Module):
     def __call__(self, params, state, xs, ctx, path=()):
         outs = []
         for i, x in enumerate(xs):
-            box = self.sub["cv2"].apply_i(i, params["cv2"], state["cv2"], x, ctx, path + ("cv2",))
-            cls = self.sub["cv3"].apply_i(i, params["cv3"], state["cv3"], x, ctx, path + ("cv3",))
+            box = self.sub["cv2"].apply_i(i, params["cv2"], state.get("cv2", {}), x, ctx, path + ("cv2",))
+            cls = self.sub["cv3"].apply_i(i, params["cv3"], state.get("cv3", {}), x, ctx, path + ("cv3",))
             outs.append(jnp.concatenate([box, cls], axis=-1))
         return outs
