@@ -1,0 +1,87 @@
+"""Benchmark: batched 640px yolo11n inference (forward + decode + NMS) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}. The reference
+publishes no throughput numbers (BASELINE.md), so vs_baseline reports the
+achieved fraction of the bf16 compute-bound speed-of-light for this chip
+(yolo11n = 6.6 GFLOPs/img -> ~29.8k img/s at 197 bf16 TFLOP/s, BASELINE.md:27).
+
+Measurement notes: the sandbox TPU sits behind a TCP relay where
+block_until_ready can return before execution completes, so each iteration is
+data-chained through a scalar salt and the chain is forced by one scalar fetch
+-- every kernel must actually run on-chip before the timer stops.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from yololite_tpu.models.model import DetectionModel
+    from yololite_tpu.ops.decode import decode_detections
+    from yololite_tpu.ops.nms import non_max_suppression
+
+    dev = jax.devices()[0]
+    print(f"device: {dev} ({dev.platform})", file=sys.stderr)
+
+    model = DetectionModel("yolo11n.yaml")
+    params, state = model.init(0)
+    cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
+    params_h = jax.device_put(cast(params))
+    state_h = jax.device_put(cast(state))
+
+    @jax.jit
+    def step(params, state, images, salt):
+        x = images + salt.astype(images.dtype)  # data-chain successive iterations
+        feats = model.apply(params, state, x.astype(jnp.bfloat16), train=False)
+        feats = [f.astype(jnp.float32) for f in feats]
+        boxes, scores = decode_detections(feats, model.strides, model.nc, model.reg_max, xywh=False)
+        dets = non_max_suppression(boxes, scores, conf_thres=0.25, iou_thres=0.7, max_det=300, max_cand=512)
+        return jnp.sum(dets) * 1e-12  # tiny scalar carried into the next iteration
+
+    best, best_bs = 0.0, 0
+    for bs in (32, 64):
+        images = jax.device_put(
+            jnp.asarray(np.random.default_rng(0).random((bs, 640, 640, 3), np.float32))
+        )
+        try:
+            float(step(params_h, state_h, images, jnp.float32(0)))  # compile + 1 real run
+        except Exception as e:
+            print(f"bs={bs}: {type(e).__name__}: {e}", file=sys.stderr)
+            break
+        iters = 20
+        rate = 0.0
+        for _ in range(2):
+            salt = jnp.float32(0)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                salt = step(params_h, state_h, images, salt)
+            _ = float(salt)  # forces the whole chain to have executed
+            dt = time.perf_counter() - t0
+            rate = max(rate, bs * iters / dt)
+        print(f"bs={bs}: {rate:.1f} img/s", file=sys.stderr)
+        if rate > best:
+            best, best_bs = rate, bs
+
+    sol = 197e12 / 6.6e9  # ~29.8k img/s compute-bound upper bound
+    print(
+        json.dumps(
+            {
+                "metric": f"yolo11n 640px batched inference images/sec/chip (bs={best_bs}, incl. on-device NMS)",
+                "value": round(best, 1),
+                "unit": "img/s",
+                "vs_baseline": round(best / sol, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
