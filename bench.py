@@ -37,35 +37,39 @@ def main():
     params_h = jax.device_put(cast(params))
     state_h = jax.device_put(cast(state))
 
-    @jax.jit
-    def step(params, state, images, salt):
-        x = images + salt.astype(images.dtype)  # data-chain successive iterations
-        feats = model.apply(params, state, x.astype(jnp.bfloat16), train=False)
-        feats = [f.astype(jnp.float32) for f in feats]
-        boxes, scores = decode_detections(feats, model.strides, model.nc, model.reg_max, xywh=False)
-        dets = non_max_suppression(boxes, scores, conf_thres=0.25, iou_thres=0.7, max_det=300, max_cand=512)
-        return jnp.sum(dets) * 1e-12  # tiny scalar carried into the next iteration
+    ITERS = 20
+
+    def make_loop(images):
+        @jax.jit
+        def loop(images, salt):
+            def body(c, _):
+                feats = model.apply(params_h, state_h, images + c.astype(images.dtype), train=False)
+                feats = [f.astype(jnp.float32) for f in feats]
+                boxes, scores = decode_detections(feats, model.strides, model.nc, model.reg_max, xywh=False)
+                dets = non_max_suppression(boxes, scores, conf_thres=0.25, iou_thres=0.7,
+                                           max_det=300, max_cand=512)
+                return (jnp.sum(dets) * 1e-12).astype(jnp.float32), None
+
+            out, _ = jax.lax.scan(body, salt, None, length=ITERS)
+            return out
+
+        return loop
 
     best, best_bs = 0.0, 0
-    for bs in (32, 64):
-        images = jax.device_put(
-            jnp.asarray(np.random.default_rng(0).random((bs, 640, 640, 3), np.float32))
-        )
+    for bs in (64, 128):
+        images = jax.device_put(jnp.asarray(np.random.default_rng(0).random((bs, 640, 640, 3)), jnp.bfloat16))
+        loop = make_loop(images)
         try:
-            float(step(params_h, state_h, images, jnp.float32(0)))  # compile + 1 real run
+            float(loop(images, jnp.float32(0)))  # compile + 1 real run of the whole chain
         except Exception as e:
             print(f"bs={bs}: {type(e).__name__}: {e}", file=sys.stderr)
             break
-        iters = 20
         rate = 0.0
         for _ in range(2):
-            salt = jnp.float32(0)
             t0 = time.perf_counter()
-            for _ in range(iters):
-                salt = step(params_h, state_h, images, salt)
-            _ = float(salt)  # forces the whole chain to have executed
+            _ = float(loop(images, jnp.float32(0)))  # scan forces ITERS real executions
             dt = time.perf_counter() - t0
-            rate = max(rate, bs * iters / dt)
+            rate = max(rate, bs * ITERS / dt)
         print(f"bs={bs}: {rate:.1f} img/s", file=sys.stderr)
         if rate > best:
             best, best_bs = rate, bs
