@@ -122,12 +122,17 @@ def read_pt_checkpoint(path) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
     return sd, meta
 
 
-def _set_nested(tree: Dict, parts, value, filled):
+def _navigate(tree: Dict, parts):
     node = tree
     for p in parts[:-1]:
         if p not in node:
             raise KeyError(f"path {'.'.join(parts)}: no key '{p}' (have {list(node)})")
         node = node[p]
+    return node
+
+
+def _set_nested(tree: Dict, parts, value, filled):
+    node = _navigate(tree, parts)
     leaf = parts[-1]
     if leaf not in node:
         raise KeyError(f"path {'.'.join(parts)}: no leaf '{leaf}' (have {list(node)})")
@@ -143,10 +148,14 @@ def _set_nested(tree: Dict, parts, value, filled):
 def state_dict_to_pytree(sd: Dict[str, np.ndarray], model: DetectionModel) -> Tuple[Dict, Dict]:
     """Map a torch state_dict (names relative to the Sequential) onto params/state trees."""
     params, state = model.init(0)
+    sd = {(k[len("model."):] if k.startswith("model.") else k): v for k, v in sd.items()}
+    return map_state_dict_into(sd, params, state)
+
+
+def map_state_dict_into(sd: Dict[str, np.ndarray], params: Dict, state: Dict) -> Tuple[Dict, Dict]:
+    """Fill (params, state) trees from torch-named arrays; verifies full coverage."""
     filled: set = set()
     for name, v in sd.items():
-        if name.startswith("model."):  # outer DetectionModel wrapper attribute
-            name = name[len("model."):]
         parts = name.split(".")
         leaf = parts[-1]
         if leaf == "num_batches_tracked" or "dfl" in parts:
@@ -161,12 +170,19 @@ def state_dict_to_pytree(sd: Dict[str, np.ndarray], model: DetectionModel) -> Tu
                 _set_nested(state, parts[:-1] + ["mean"], v, filled)
             elif leaf == "running_var":
                 _set_nested(state, parts[:-1] + ["var"], v, filled)
-        elif parent == "conv" and leaf == "weight":
-            _set_nested(params, parts[:-1] + ["w"], v.transpose(2, 3, 1, 0), filled)
-        elif leaf == "weight" and v.ndim == 4:  # plain nn.Conv2d (Detect final 1x1s)
-            _set_nested(params, parts[:-1] + ["w"], v.transpose(2, 3, 1, 0), filled)
+        elif leaf == "weight" and v.ndim == 4:
+            node = _navigate(params, parts)
+            if "wt" in node:  # transposed conv: (c_in, c_out, kh, kw) -> flipped HWIO
+                _set_nested(params, parts[:-1] + ["wt"], v[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy(), filled)
+            else:  # conv: OIHW -> HWIO
+                _set_nested(params, parts[:-1] + ["w"], v.transpose(2, 3, 1, 0), filled)
+        elif leaf == "weight" and v.ndim in (1, 2):  # Linear (torch orientation) / LayerNorm
+            _set_nested(params, parts[:-1] + ["weight"], v, filled)
+        elif leaf in ("in_proj_weight", "in_proj_bias"):  # nn.MultiheadAttention packed proj
+            _set_nested(params, parts, v, filled)
         elif leaf == "bias":
-            _set_nested(params, parts[:-1] + ["b"], v, filled)
+            node = _navigate(params, parts)
+            _set_nested(params, parts[:-1] + ["b" if "b" in node else "bias"], v, filled)
         else:
             LOGGER.warning(f"checkpoint import: skipping unrecognized entry '{name}' {v.shape}")
 

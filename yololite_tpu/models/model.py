@@ -24,20 +24,67 @@ from yololite_tpu.models import modules as M
 #   'ch'      : args = [c1, c2_scaled, *rest]
 #   'repeat'  : additionally insert repeat count n after c2
 #   'plain'   : args used as-is
-REGISTRY: Dict[str, Tuple[type, str]] = {
-    "Conv": (M.Conv, "ch"),
-    "DWConv": (M.DWConv, "ch"),
-    "Bottleneck": (M.Bottleneck, "ch"),
-    "SPPF": (M.SPPF, "ch"),
-    "C2f": (M.C2f, "repeat"),
-    "C3": (M.C3, "repeat"),
-    "C3k2": (M.C3k2, "repeat"),
-    "C2PSA": (M.C2PSA, "repeat"),
-    "Concat": (M.Concat, "plain"),
-    "nn.Upsample": (M.Upsample, "plain"),
-    "Upsample": (M.Upsample, "plain"),
-    "Detect": (M.Detect, "detect"),
-}
+def _registry() -> Dict[str, Tuple[type, str]]:
+    from yololite_tpu.models import transformer as T
+    from yololite_tpu.models import zoo as Z
+
+    reg = {
+        # YOLO11 path
+        "Conv": (M.Conv, "ch"),
+        "DWConv": (M.DWConv, "ch"),
+        "Bottleneck": (M.Bottleneck, "ch"),
+        "SPPF": (M.SPPF, "ch"),
+        "C2f": (M.C2f, "repeat"),
+        "C3": (M.C3, "repeat"),
+        "C3k2": (M.C3k2, "repeat"),
+        "C2PSA": (M.C2PSA, "repeat"),
+        "Concat": (M.Concat, "plain"),
+        "nn.Upsample": (M.Upsample, "plain"),
+        "Upsample": (M.Upsample, "plain"),
+        "Detect": (M.Detect, "detect"),
+        # extended zoo (reference nn/modules, SURVEY.md §2 #35)
+        "Focus": (Z.Focus, "ch"),
+        "GhostConv": (Z.GhostConv, "ch"),
+        "GhostBottleneck": (Z.GhostBottleneck, "ch"),
+        "ConvTranspose": (Z.ConvTranspose, "ch"),
+        "RepConv": (Z.RepConv, "ch"),
+        "LightConv": (Z.LightConv, "ch"),
+        "SPP": (Z.SPP, "ch"),
+        "SPPELAN": (Z.SPPELAN, "ch"),
+        "RepNCSPELAN4": (Z.RepNCSPELAN4, "ch"),
+        "ELAN1": (Z.ELAN1, "ch"),
+        "AConv": (Z.AConv, "ch"),
+        "ADown": (Z.ADown, "ch"),
+        "SCDown": (Z.SCDown, "ch"),
+        "PSA": (Z.PSA, "ch"),
+        "C1": (Z.C1, "repeat"),
+        "C2": (Z.C2, "repeat"),
+        "C3x": (Z.C3x, "repeat"),
+        "C3Ghost": (Z.C3Ghost, "repeat"),
+        "C3TR": (T.C3TR, "repeat"),
+        "RepC3": (Z.RepC3, "repeat"),
+        "RepCSP": (Z.RepCSP, "repeat"),
+        "BottleneckCSP": (Z.BottleneckCSP, "repeat"),
+        "C2fCIB": (Z.C2fCIB, "repeat"),
+        "C2fPSA": (Z.C2fPSA, "repeat"),
+        "C3f": (Z.C3f, "repeat"),
+        "CIB": (Z.CIB, "ch"),
+        "RepVGGDW": (Z.RepVGGDW, "plainch"),
+        "CBAM": (Z.CBAM, "plainch"),
+        "ChannelAttention": (Z.ChannelAttention, "plainch"),
+        "HGStem": (Z.HGStem, "hg"),
+        "HGBlock": (Z.HGBlock, "hg"),
+        "ResNetLayer": (Z.ResNetLayer, "resnet"),
+        "CBLinear": (Z.CBLinear, "cblinear"),
+        "CBFuse": (Z.CBFuse, "cbfuse"),
+        "AIFI": (T.AIFI, "aifi"),
+        "TransformerBlock": (T.TransformerBlock, "ch"),
+        "Proto": (Z.Proto, "ch"),
+    }
+    return reg
+
+
+REGISTRY: Dict[str, Tuple[type, str]] = _registry()
 
 
 def make_divisible(x, divisor=8):
@@ -142,6 +189,40 @@ def parse_spec(d: Dict, ch_in: int = 3, verbose: bool = False) -> Tuple[List[Row
             c2 = 0
             sp = 0
             margs = [nc, in_ch]
+        elif kind == "plainch":  # module(c1, *args): RepVGGDW / CBAM / ChannelAttention
+            c2 = ch[prev]
+            margs = [c2, *args]
+            mod = cls(*margs)
+            sp = spatial[prev]
+        elif kind == "hg":  # HGStem / HGBlock: (c1, cm, c2, ...)
+            c1, cm, c2 = ch[prev], args[0], args[1]
+            margs = [c1, cm, c2, *args[2:]]
+            if name == "HGBlock":
+                margs.insert(4, n_scaled)  # repeats after k
+                n_scaled = 1
+            mod = cls(*margs)
+            sp = spatial[prev] * (4 if name == "HGStem" else 1)
+        elif kind == "resnet":  # yaml args are the full (c1, c2, s, is_first, n) signature
+            margs = list(args)
+            is_first = margs[3] if len(margs) > 3 else False
+            c2 = margs[1] if is_first else margs[1] * 4  # reference tasks.py:634
+            mod = cls(*margs)
+            sp = spatial[prev] * (4 if is_first else (margs[2] if len(margs) > 2 else 1))
+        elif kind == "cblinear":
+            c2 = args[0]  # list of split channel counts
+            margs = [ch[prev], *args]
+            mod = cls(*margs)
+            sp = spatial[prev]
+        elif kind == "cbfuse":
+            c2 = ch[f[-1]]
+            margs = args
+            mod = cls(*margs)
+            sp = spatial[f[-1]]
+        elif kind == "aifi":
+            c2 = ch[prev]
+            margs = [c2, *args]
+            mod = cls(*margs)
+            sp = spatial[prev]
         else:  # pragma: no cover
             raise KeyError(name)
 

@@ -33,12 +33,12 @@ class Ctx:
         self.updates: Dict[Tuple[str, ...], Dict[str, jnp.ndarray]] = {}
 
 
-def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
-    """'same'-shape padding (reference conv.py:26-32)."""
+def autopad(k, p=None, d: int = 1):
+    """'same'-shape padding, int or (kh, kw) (reference conv.py:26-32)."""
     if d > 1:
-        k = d * (k - 1) + 1
+        k = d * (k - 1) + 1 if isinstance(k, int) else tuple(d * (x - 1) + 1 for x in k)
     if p is None:
-        p = k // 2
+        p = k // 2 if isinstance(k, int) else tuple(x // 2 for x in k)
     return p
 
 
@@ -56,13 +56,16 @@ def _kaiming_uniform(kg: "KeyGen", shape, fan_in):
 
 
 def conv2d(x, w, stride=1, padding=0, groups=1, dilation=1):
-    """NHWC conv with HWIO weights."""
+    """NHWC conv with HWIO weights; stride/padding/dilation may be int or (h, w)."""
+    s = (stride, stride) if isinstance(stride, int) else tuple(stride)
+    p = (padding, padding) if isinstance(padding, int) else tuple(padding)
+    d = (dilation, dilation) if isinstance(dilation, int) else tuple(dilation)
     return jax.lax.conv_general_dilated(
         x,
         w,
-        window_strides=(stride, stride),
-        padding=[(padding, padding), (padding, padding)],
-        rhs_dilation=(dilation, dilation),
+        window_strides=s,
+        padding=[(p[0], p[0]), (p[1], p[1])],
+        rhs_dilation=d,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )
@@ -99,16 +102,16 @@ class Conv(Module):
     """Conv2d(bias=False) + BatchNorm2d + SiLU (reference conv.py:35-53)."""
 
     def __init__(self, c1, c2, k=1, s=1, p=None, g=1, d=1, act=True):
-        if isinstance(k, (tuple, list)):  # square kernels only in this family
-            assert k[0] == k[1], f"non-square kernel {k} unsupported"
+        if isinstance(k, (tuple, list)) and k[0] == k[1]:
             k = k[0]
         self.c1, self.c2, self.k, self.s, self.g, self.d = c1, c2, k, s, g, d
+        self.kh, self.kw = (k, k) if isinstance(k, int) else tuple(k)
         self.p = autopad(k, p, d)
-        self.act = act  # True -> SiLU, False -> identity
+        self.act = act  # True -> SiLU, 'relu' -> ReLU, False -> identity
 
     def init(self, key):
-        fan_in = self.c1 // self.g * self.k * self.k
-        w = _kaiming_uniform(key, (self.k, self.k, self.c1 // self.g, self.c2), fan_in)
+        fan_in = self.c1 // self.g * self.kh * self.kw
+        w = _kaiming_uniform(key, (self.kh, self.kw, self.c1 // self.g, self.c2), fan_in)
         params = {
             "conv": {"w": w},
             "bn": {"scale": jnp.ones(self.c2), "bias": jnp.zeros(self.c2)},
@@ -116,10 +119,17 @@ class Conv(Module):
         state = {"bn": {"mean": jnp.zeros(self.c2), "var": jnp.ones(self.c2)}}
         return params, state
 
+    def _act(self, y):
+        if self.act is True:
+            return jax.nn.silu(y)
+        if self.act == "relu":
+            return jax.nn.relu(y)
+        return y
+
     def __call__(self, params, state, x, ctx, path=()):
         y = conv2d(x, params["conv"]["w"], self.s, self.p, self.g, self.d)
         y = batchnorm(params["bn"], state["bn"], y, ctx, path + ("bn",))
-        return jax.nn.silu(y) if self.act is True else y
+        return self._act(y)
 
     def fuse(self, params, state):
         """Fold BN into conv weights; returns params for a fused Conv2dAct."""
