@@ -10,6 +10,7 @@ padded to a fixed shape so the graph compiles once per (batch, imgsz).
 from __future__ import annotations
 
 import functools
+import math
 import threading
 import time
 from pathlib import Path
@@ -67,18 +68,43 @@ class DetectionPredictor:
         conf, iou = float(self.args.conf), float(self.args.iou)
         max_det = int(self.args.max_det)
         agnostic = bool(self.args.agnostic_nms)
+        augment = bool(self.args.augment)
         class_mask = None
         if self.args.classes is not None:
             cm = np.zeros(nc, bool)
             cm[np.asarray(self.args.classes, int)] = True
             class_mask = jnp.asarray(cm)
 
+        def _forward_decode(params, state, x):
+            feats = model.apply(params, state, x, train=False)
+            feats = [f.astype(jnp.float32) for f in feats]
+            return decode_detections(feats, strides, nc, reg_max, xywh=False)
+
+        def _forward_tta(params, state, x):
+            """Test-time augmentation: multi-scale + horizontal flip, merged pre-NMS
+            (counterpart of reference tasks.py:278-316 _predict_augment)."""
+            h, w = x.shape[1], x.shape[2]
+            outs = []
+            for s, flip in ((1.0, False), (0.83, True), (0.67, False)):
+                hs = int(math.ceil(h * s / 32) * 32)
+                ws = int(math.ceil(w * s / 32) * 32)
+                xi = x[:, :, ::-1, :] if flip else x
+                if (hs, ws) != (h, w):
+                    xi = jax.image.resize(xi, (x.shape[0], hs, ws, x.shape[3]), "bilinear")
+                boxes, scores = _forward_decode(params, state, xi)
+                gain = jnp.asarray([ws / w, hs / h, ws / w, hs / h], jnp.float32)
+                boxes = boxes / gain
+                if flip:  # un-flip x coords (xyxy)
+                    x1 = w - boxes[..., 2]
+                    x2 = w - boxes[..., 0]
+                    boxes = jnp.stack([x1, boxes[..., 1], x2, boxes[..., 3]], -1)
+                outs.append((boxes, scores))
+            return jnp.concatenate([o[0] for o in outs], 1), jnp.concatenate([o[1] for o in outs], 1)
+
         @jax.jit
         def _infer(params, state, images):
             x = images.astype(jnp.bfloat16) if half else images
-            feats = model.apply(params, state, x, train=False)
-            feats = [f.astype(jnp.float32) for f in feats]
-            boxes, scores = decode_detections(feats, strides, nc, reg_max, xywh=False)
+            boxes, scores = (_forward_tta if augment else _forward_decode)(params, state, x)
             return non_max_suppression(
                 boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det,
                 max_cand=1024, multi_label=False, agnostic=agnostic, class_mask=class_mask,
@@ -129,6 +155,9 @@ class DetectionPredictor:
                 with profilers[2]:
                     results = self.postprocess(dets[:n], im.shape[1:3], im0s, paths)
 
+                if self.args.visualize:
+                    self._visualize_features(im[: max(n, 1)])
+
                 for i, result in enumerate(results):
                     self.seen += 1
                     result.speed = {
@@ -138,7 +167,9 @@ class DetectionPredictor:
                     }
                     if self.args.verbose:
                         LOGGER.info(f"{infos[i]}{result.verbose()}{profilers[1].dt * 1e3 / n:.1f}ms")
-                    if self.args.save:
+                    if self.args.save and getattr(self.dataset, "mode", "image") in ("video", "stream"):
+                        self._write_video_frame(paths[i], result.plot())
+                    elif self.args.save:
                         result.save(str(self.save_dir / Path(paths[i]).name))
                     if self.args.save_txt:
                         result.save_txt(str(self.save_dir / "labels" / (Path(paths[i]).stem + ".txt")),
@@ -146,6 +177,10 @@ class DetectionPredictor:
                     if self.args.save_crop:
                         result.save_crop(self.save_dir / "crops", Path(paths[i]).name)
                     yield result
+
+        for vw in getattr(self, "_vid_writers", {}).values():
+            vw.release()
+        self._vid_writers = {}
 
         if self.args.verbose and self.seen:
             t = tuple(p.t / self.seen * 1e3 for p in profilers)
@@ -155,6 +190,34 @@ class DetectionPredictor:
             )
         if self.args.save or self.args.save_txt:
             LOGGER.info(f"Results saved to {colorstr('bold', self.save_dir)}")
+
+    def _write_video_frame(self, path, frame):
+        """Append an annotated frame to a per-source mp4 writer."""
+        import cv2
+
+        if not hasattr(self, "_vid_writers"):
+            self._vid_writers = {}
+        if path not in self._vid_writers:
+            self.save_dir.mkdir(parents=True, exist_ok=True)
+            out = str(self.save_dir / (Path(path).stem + ".mp4"))
+            fps = 30
+            cap = getattr(self.dataset, "cap", None)
+            if cap is not None:
+                fps = int(cap.get(cv2.CAP_PROP_FPS)) or 30
+            h, w = frame.shape[:2]
+            self._vid_writers[path] = cv2.VideoWriter(out, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        self._vid_writers[path].write(frame)
+
+    def _visualize_features(self, im: np.ndarray):
+        """Save feature maps of the backbone tap layers (reference tasks.py:139-140)."""
+        from yololite_tpu.models.modules import Ctx
+        from yololite_tpu.utils.plotting import feature_visualization
+
+        capture = sorted(self.model.save)[:6]
+        ctx = Ctx(train=False, capture=capture)
+        self.model.apply(self.params, self.state, jnp.asarray(im), ctx=ctx)
+        for idx, feat in ctx.features.items():
+            feature_visualization(np.asarray(feat), self.model.rows[idx].name, idx, save_dir=self.save_dir)
 
     def postprocess(self, dets: np.ndarray, input_hw, orig_imgs: List[np.ndarray], paths) -> List[Results]:
         """Strip padding rows, rescale to original frames, wrap in Results."""

@@ -298,7 +298,41 @@ class DetectionModel:
             y = row.mod(params.get(k, {}), state.get(k, {}), inp, ctx, (k,))
             if row.i in self.save:
                 saved[row.i] = y
+            if row.i in ctx.capture and not isinstance(y, (list, tuple)):
+                ctx.features[row.i] = y
         return y  # Detect output: list of (B, H, W, no) maps
+
+    def profile_layers(self, params, state, x, n_warmup: int = 1, n_iter: int = 3):
+        """Eager per-layer timing table (counterpart of reference tasks.py:155-177).
+
+        Returns [(index, name, ms)]; each row timed with block_until_ready.
+        """
+        import time
+
+        ctx = M.Ctx(train=False)
+        results = []
+        saved: Dict[int, jnp.ndarray] = {}
+        y = x
+        for row in self.rows:
+            inp = (
+                (y if row.f == -1 else saved[row.f])
+                if isinstance(row.f, int)
+                else [y if j == -1 else saved[j] for j in row.f]
+            )
+            k = str(row.i)
+            fn = jax.jit(lambda p, s, i, row=row, k=k: row.mod(p.get(k, {}), s.get(k, {}), i, M.Ctx(False), (k,)))
+            out = jax.block_until_ready(fn(params, state, inp))
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                out = fn(params, state, inp)
+            jax.block_until_ready(out)
+            results.append((row.i, row.name, (time.perf_counter() - t0) / n_iter * 1e3))
+            y = out
+            if row.i in self.save:
+                saved[row.i] = y
+        for i, name, ms in results:
+            LOGGER.info(f"{i:>3} {name:<14} {ms:8.3f} ms")
+        return results
 
     def num_params(self, params) -> int:
         return count_params(params)

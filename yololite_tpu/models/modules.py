@@ -26,11 +26,13 @@ BN_MOMENTUM = 0.03  # and momentum=0.03 (torch_utils.py:250)
 
 
 class Ctx:
-    """Per-forward context: train flag + BN running-stat update collector."""
+    """Per-forward context: train flag, BN stat collector, optional feature taps."""
 
-    def __init__(self, train: bool = False):
+    def __init__(self, train: bool = False, capture: Optional[Sequence[int]] = None):
         self.train = train
         self.updates: Dict[Tuple[str, ...], Dict[str, jnp.ndarray]] = {}
+        self.capture = set(capture or ())  # layer indices whose outputs to record
+        self.features: Dict[int, jnp.ndarray] = {}
 
 
 def autopad(k, p=None, d: int = 1):

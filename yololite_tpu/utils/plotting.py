@@ -128,6 +128,35 @@ def plot_results(csv_file="results.csv", dir_=""):
     return out
 
 
+def feature_visualization(x, module_type: str, stage: int, n: int = 32, save_dir=Path("runs/detect/exp")):
+    """Save a grid of the first n channel maps of a feature tensor (NHWC).
+
+    Counterpart of reference utils/plotting.py:1060-1091.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(x)
+    if x.ndim != 4:
+        return
+    _, h, w, c = x.shape
+    if h <= 1 or w <= 1:
+        return
+    n = min(n, c)
+    fig, axes = plt.subplots(int(np.ceil(n / 8)), 8, figsize=(12, 2 * int(np.ceil(n / 8))), squeeze=False)
+    for i in range(n):
+        ax = axes[i // 8][i % 8]
+        ax.imshow(x[0, :, :, i])
+        ax.axis("off")
+    Path(save_dir).mkdir(parents=True, exist_ok=True)
+    f = Path(save_dir) / f"stage{stage}_{module_type.split('.')[-1]}_features.png"
+    fig.savefig(f, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return f
+
+
 def plot_labels(boxes: np.ndarray, cls: np.ndarray, names: Dict[int, str], save_dir=Path(".")):
     """Histogram of classes + box w/h scatter, saved as labels.jpg."""
     import matplotlib
