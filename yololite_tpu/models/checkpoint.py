@@ -274,6 +274,41 @@ def save_native(path, params: Dict, state: Dict, meta: Optional[Dict] = None):
     np.savez(path, **flat)
 
 
+def strip_optimizer(path, out_path=None) -> Path:
+    """Strip training state from a native checkpoint, keeping EMA weights only.
+
+    Counterpart of reference torch_utils.py:355-399 (model<-EMA swap, optimizer
+    nulled). Returns the written path.
+    """
+    params, state, meta = load_native(path)
+    slim_state = state.get("model_state", state)
+    meta = dict(meta)
+    meta.pop("ema_updates", None)
+    meta["epoch"] = -1
+    out = Path(out_path or path)
+    save_native(out, params, slim_state, meta)
+    LOGGER.info(f"Optimizer stripped from {path} -> {out}")
+    return out
+
+
+def attempt_load_one_weight(path, nc: Optional[int] = None):
+    """Load one checkpoint of either format -> (model, params, state, meta).
+
+    Counterpart of reference nn/tasks.py:499-519 (EMA preferred, args attached).
+    """
+    path = str(path)
+    if path.endswith(".pt"):
+        return load_pt(path, nc=nc)
+    params, state, meta = load_native(path)
+    model = DetectionModel(meta.get("cfg", "yolo11n.yaml"), nc=nc or meta.get("nc"))
+    if meta.get("names"):
+        model.names = {int(k): v for k, v in meta["names"].items()}
+    model.args = meta.get("args", {})
+    if "model_state" in state:
+        state = state["model_state"]
+    return model, params, state, meta
+
+
 def load_native(path) -> Tuple[Dict, Dict, Dict]:
     """Load a native .npz checkpoint -> (params, state, meta)."""
     z = np.load(path, allow_pickle=False)

@@ -49,23 +49,11 @@ def _fast_keep(iou: jnp.ndarray, valid: jnp.ndarray, iou_thres: float) -> jnp.nd
     return valid & (max_iou <= iou_thres)
 
 
-def _single_image_nms(
-    boxes: jnp.ndarray,  # (A, 4) xyxy
-    scores: jnp.ndarray,  # (A, nc)
-    conf_thres: float,
-    iou_thres: float,
-    max_det: int,
-    max_cand: int,
-    multi_label: bool,
-    agnostic: bool,
-    class_mask: Optional[jnp.ndarray],  # (nc,) bool or None
-    mode: str,
-) -> jnp.ndarray:
+def _select_candidates(boxes, scores, conf_thres, max_cand, multi_label, class_mask):
+    """Per-image: gate + top-K candidate selection -> (vals, boxes_k, cls, valid)."""
     a, nc = scores.shape
-
     if class_mask is not None:
         scores = jnp.where(class_mask[None, :], scores, 0.0)
-
     if multi_label and nc > 1:
         k = min(max_cand, a * nc)
         flat = scores.reshape(-1)
@@ -80,28 +68,22 @@ def _single_image_nms(
         gated = jnp.where(conf > conf_thres, conf, -1.0)
         vals, bidx = jax.lax.top_k(gated, k)
         cls = cls_i[bidx].astype(jnp.float32)
-
-    cand_boxes = boxes[bidx]  # (K, 4)
+    cand_boxes = boxes[bidx]
     valid = vals > jnp.maximum(conf_thres, 0.0)
+    return vals, cand_boxes, cls, valid
 
-    offset = jnp.where(agnostic, 0.0, cls * MAX_WH)
-    shifted = cand_boxes + offset[:, None]
-    iou = box_iou(shifted, shifted)
-    keep = _fast_keep(iou, valid, iou_thres) if mode == "fast" else _greedy_keep(iou, valid, iou_thres)
 
+def _finalize(cand_boxes, vals, cls, keep, max_det):
+    """Per-image: rank kept candidates, emit padded (max_det, 6)."""
+    k = vals.shape[0]
     final_scores = jnp.where(keep, vals, -1.0)
     out_vals, oidx = jax.lax.top_k(final_scores, min(max_det, k))
     ok = out_vals > 0
     out = jnp.concatenate(
-        [
-            cand_boxes[oidx],
-            jnp.where(ok, out_vals, 0.0)[:, None],
-            cls[oidx][:, None],
-        ],
-        axis=-1,
+        [cand_boxes[oidx], jnp.where(ok, out_vals, 0.0)[:, None], cls[oidx][:, None]], axis=-1
     )
     out = jnp.where(ok[:, None], out, 0.0)
-    if out.shape[0] < max_det:  # pad up to max_det rows
+    if out.shape[0] < max_det:
         out = jnp.pad(out, ((0, max_det - out.shape[0]), (0, 0)))
     return out
 
@@ -122,16 +104,32 @@ def non_max_suppression(
     class_mask: Optional[jnp.ndarray] = None,
     mode: str = "greedy",
 ) -> jnp.ndarray:
-    """Batched class-aware NMS -> (B, max_det, 6) padded detections."""
-    fn = functools.partial(
-        _single_image_nms,
-        conf_thres=conf_thres,
-        iou_thres=iou_thres,
-        max_det=max_det,
-        max_cand=max_cand,
-        multi_label=multi_label,
-        agnostic=agnostic,
-        class_mask=class_mask,
-        mode=mode,
-    )
-    return jax.vmap(fn)(boxes, scores)
+    """Batched class-aware NMS -> (B, max_det, 6) padded detections.
+
+    mode: 'greedy' (lax.scan, exact), 'pallas' (VMEM kernel, exact, TPU-fast),
+    'fast' (one-shot matrix NMS, slightly over-suppresses).
+    """
+    vals, cand_boxes, cls, valid = jax.vmap(
+        functools.partial(
+            _select_candidates,
+            conf_thres=conf_thres,
+            max_cand=max_cand,
+            multi_label=multi_label,
+            class_mask=class_mask,
+        )
+    )(boxes, scores)
+
+    offset = jnp.zeros_like(cls) if agnostic else cls * MAX_WH
+    shifted = cand_boxes + offset[..., None]
+    iou = jax.vmap(box_iou)(shifted, shifted)
+
+    if mode == "pallas":
+        from yololite_tpu.ops.pallas_kernels import greedy_nms_keep_pallas
+
+        keep = greedy_nms_keep_pallas(iou, valid, iou_thres) > 0
+    elif mode == "fast":
+        keep = jax.vmap(functools.partial(_fast_keep, iou_thres=iou_thres))(iou, valid)
+    else:
+        keep = jax.vmap(functools.partial(_greedy_keep, iou_thres=iou_thres))(iou, valid)
+
+    return jax.vmap(functools.partial(_finalize, max_det=max_det))(cand_boxes, vals, cls, keep)
