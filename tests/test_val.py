@@ -95,3 +95,26 @@ def test_validator_end_to_end_coco8(tmp_path):
     assert "metrics/mAP50-95(B)" in rd
     assert 0.0 <= rd["metrics/mAP50-95(B)"] <= 1.0
     assert "fitness" in rd
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference mount not present")
+def test_validator_rect_batching(tmp_path):
+    """rect=True val: aspect-grouped batch shapes, one compile per bucket."""
+    import sys
+
+    sys.path.insert(0, str(REFERENCE))
+    import torch
+    from tests.test_model_parity import _build_reference_model
+
+    tm = _build_reference_model("n")
+    tm.args = {"imgsz": 640}
+    pt = tmp_path / "yolo11n.pt"
+    torch.save({"model": tm, "train_args": {"imgsz": 640}}, str(pt))
+
+    from yololite_tpu import YOLOLite
+
+    m = YOLOLite(str(pt))
+    metrics = m.val(data=str(REFERENCE / "coco8" / "coco8.yaml"), imgsz=320, batch=2, rect=True,
+                    plots=False, verbose=False, project=str(tmp_path / "runs"))
+    rd = metrics.results_dict
+    assert 0.0 <= rd["metrics/mAP50-95(B)"] <= 1.0

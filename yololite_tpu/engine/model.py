@@ -94,7 +94,9 @@ class YOLOLite:
         return self.predictor(source=source, stream=stream)
 
     def val(self, validator=None, **kwargs):
-        custom = {"rect": False, "mode": "val"}
+        # rect=True mirrors the reference val default (model.py:101); shape buckets
+        # compile once each and then cache
+        custom = {"rect": True, "mode": "val"}
         args = {**self.overrides, **custom, **kwargs}
         from yololite_tpu.engine.validator import DetectionValidator
 
