@@ -119,3 +119,19 @@ def test_train_mode_bn_parity():
     upd = ctx.updates[("0", "bn")]
     np.testing.assert_allclose(np.asarray(upd["mean"]), t_mean, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(upd["var"]), t_var, rtol=1e-4, atol=1e-5)
+
+
+def test_bn_fusion_exact():
+    """fuse_tree folds every Conv+BN with no output change (inference path)."""
+    from yololite_tpu.models.modules import fuse_tree
+
+    m = DetectionModel("yolo11n.yaml")
+    p, s = m.init(0)
+    rng = np.random.default_rng(7)
+    s = jax.tree.map(lambda x: x + jnp.asarray(rng.uniform(-0.05, 0.05, x.shape), jnp.float32), s)
+    x = jnp.asarray(rng.standard_normal((1, 96, 96, 3), dtype=np.float32))
+    y0 = m.apply(p, s, x)
+    fp, fs = fuse_tree(p, s)
+    y1 = m.apply(fp, fs, x)
+    for a, b in zip(y0, y1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)

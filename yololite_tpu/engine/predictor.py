@@ -54,9 +54,13 @@ class DetectionPredictor:
 
     # ---- setup ----
 
-    def setup_model(self, model, params, state, half: Optional[bool] = None):
+    def setup_model(self, model, params, state, half: Optional[bool] = None, fuse: bool = True):
         """Bind a DetectionModel + weight pytrees; build the fused jitted graph."""
         self.model = model
+        if fuse:  # fold Conv+BN for inference (reference autobackend.py:34 fuse=True)
+            from yololite_tpu.models.modules import fuse_tree
+
+            params, state = fuse_tree(params, state)
         half = self.args.half if half is None else half
         if half:
             cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)

@@ -95,6 +95,10 @@ class DetectionValidator:
 
         if self._infer is None:
             self._infer = self._build_infer(model, half=bool(self.args.half))
+        if trainer is None:  # standalone: fold Conv+BN (training weights must stay unfused)
+            from yololite_tpu.models.modules import fuse_tree
+
+            params, state = fuse_tree(params, state)
         params = jax.device_put(params)
         state = jax.device_put(state)
 

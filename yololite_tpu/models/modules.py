@@ -130,17 +130,49 @@ class Conv(Module):
 
     def __call__(self, params, state, x, ctx, path=()):
         y = conv2d(x, params["conv"]["w"], self.s, self.p, self.g, self.d)
-        y = batchnorm(params["bn"], state["bn"], y, ctx, path + ("bn",))
+        if "bn" in params:
+            y = batchnorm(params["bn"], state["bn"], y, ctx, path + ("bn",))
+        else:  # BN folded into the conv at fuse time (reference torch_utils.py:182-209)
+            y = y + params["conv"]["b"]
         return self._act(y)
 
-    def fuse(self, params, state):
-        """Fold BN into conv weights; returns params for a fused Conv2dAct."""
+    @staticmethod
+    def fuse(params, state):
+        """Fold BN into conv weights; returns fused params {'conv': {'w', 'b'}}."""
         scale, bias = params["bn"]["scale"], params["bn"]["bias"]
         mean, var = state["bn"]["mean"], state["bn"]["var"]
         g = scale / jnp.sqrt(var + BN_EPS)
         w = params["conv"]["w"] * g[None, None, None, :]
         b = bias - mean * g
         return {"conv": {"w": w, "b": b}}
+
+
+def fuse_tree(params: Dict, state: Dict):
+    """Recursively fold every Conv+BN pair in a params/state tree for inference.
+
+    Matches subtrees shaped {'conv': {'w'}, 'bn': {...}} with running stats in the
+    aligned state subtree; other BN uses (standalone BN, ConvTranspose) are left
+    unfused. Returns (fused_params, fused_state).
+    """
+    if not isinstance(params, dict):
+        return params, state
+    if "conv" in params and "bn" in params and isinstance(params["conv"], dict) and "w" in params["conv"]:
+        return Conv.fuse(params, state), {}
+    new_p, new_s = {}, {}
+    for k, v in params.items():
+        sv = state.get(k, {}) if isinstance(state, dict) else {}
+        fp, fs = fuse_tree(v, sv)
+        new_p[k] = fp
+        if fs or (isinstance(state, dict) and k in state and not isinstance(v, dict)):
+            new_s[k] = fs
+    # keep state leaves with no params counterpart (e.g. standalone bn nodes)
+    if isinstance(state, dict):
+        for k, v in state.items():
+            if k not in new_p and k not in new_s:
+                new_s[k] = v
+            elif k in new_p and k not in new_s and not isinstance(params.get(k), dict):
+                new_s[k] = v
+    return new_p, new_s
 
 
 class Conv2d(Module):
@@ -274,7 +306,7 @@ class C2f(_Composite):
         ys = [y0[..., : self.c], y0[..., self.c :]]
         ml: ModList = self.sub["m"]
         for i in range(self.n):
-            ys.append(ml.apply_i(i, params["m"], state["m"], ys[-1], ctx, path + ("m",)))
+            ys.append(ml.apply_i(i, params["m"], state.get("m", {}), ys[-1], ctx, path + ("m",)))
         return self._apply("cv2", params, state, jnp.concatenate(ys, axis=-1), ctx, path)
 
 

@@ -239,7 +239,7 @@ class MLP(_Composite):
     def __call__(self, params, state, x, ctx, path=()):
         ml = self.sub["layers"]
         for i in range(self.num_layers):
-            x = ml.apply_i(i, params["layers"], state["layers"], x, ctx, path + ("layers",))
+            x = ml.apply_i(i, params["layers"], state.get("layers", {}), x, ctx, path + ("layers",))
             if i < self.num_layers - 1:
                 x = jax.nn.relu(x)
         return jax.nn.sigmoid(x) if self.use_sigmoid else x

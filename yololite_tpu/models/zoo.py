@@ -444,7 +444,7 @@ class HGBlock(_Composite):
         ys = [x]
         ml: ModList = self.sub["m"]
         for i in range(self.n):
-            ys.append(ml.apply_i(i, params["m"], state["m"], ys[-1], ctx, path + ("m",)))
+            ys.append(ml.apply_i(i, params["m"], state.get("m", {}), ys[-1], ctx, path + ("m",)))
         y = self._apply("sc", params, state, jnp.concatenate(ys, -1), ctx, path)
         y = self._apply("ec", params, state, y, ctx, path)
         return y + x if self.add else y
@@ -712,5 +712,5 @@ class C3f(_Composite):
         ys = [self._apply("cv2", params, state, x, ctx, path), self._apply("cv1", params, state, x, ctx, path)]
         ml: ModList = self.sub["m"]
         for i in range(self.n):
-            ys.append(ml.apply_i(i, params["m"], state["m"], ys[-1], ctx, path + ("m",)))
+            ys.append(ml.apply_i(i, params["m"], state.get("m", {}), ys[-1], ctx, path + ("m",)))
         return self._apply("cv3", params, state, jnp.concatenate(ys, -1), ctx, path)
