@@ -1,0 +1,122 @@
+"""Data pipeline unit tests: dataset, augmentation geometry, config system."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE, reference_available
+
+needs_ref = pytest.mark.skipif(not reference_available(), reason="reference mount not present")
+
+
+@needs_ref
+def test_dataset_coco8_val():
+    from yololite_tpu.cfg import get_cfg
+    from yololite_tpu.data.dataset import YOLODataset
+    from yololite_tpu.data.utils import check_det_dataset
+
+    data = check_det_dataset(str(REFERENCE / "coco8" / "coco8.yaml"))
+    assert data["nc"] == 80
+    ds = YOLODataset(data["val"], imgsz=160, batch_size=4, augment=False,
+                     hyp=get_cfg(), data=data)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["img"].shape == (160, 160, 3)
+    assert item["img"].dtype == np.float32
+    assert 0.0 <= item["img"].min() and item["img"].max() <= 1.0
+    assert item["bboxes"].shape[1] == 4
+    assert (item["bboxes"] <= 1.0).all() and (item["bboxes"] >= 0.0).all()  # normalized xywh
+    assert item["cls"].shape[0] == item["bboxes"].shape[0]
+
+    batch = YOLODataset.collate_fn([ds[0], ds[1]])
+    assert batch["img"].shape == (2, 160, 160, 3)
+    assert batch["batch_idx"].max() <= 1
+
+
+@needs_ref
+def test_dataset_train_augment_pipeline():
+    from yololite_tpu.cfg import get_cfg
+    from yololite_tpu.data.dataset import YOLODataset
+    from yololite_tpu.data.utils import check_det_dataset
+
+    data = check_det_dataset(str(REFERENCE / "coco8" / "coco8.yaml"))
+    hyp = get_cfg(overrides={"mosaic": 1.0, "fliplr": 0.5, "mixup": 0.2, "copy_paste": 0.3})
+    ds = YOLODataset(data["train"], imgsz=160, batch_size=4, augment=True, hyp=hyp, data=data)
+    for i in range(4):
+        item = ds[i]
+        assert item["img"].shape == (160, 160, 3)
+        assert np.isfinite(item["bboxes"]).all()
+        assert (item["bboxes"] >= 0).all() and (item["bboxes"] <= 1.0 + 1e-6).all()
+    # close_mosaic rebuilds transforms without mosaic
+    ds.close_mosaic(hyp)
+    item = ds[0]
+    assert item["img"].shape == (160, 160, 3)
+
+
+def test_cfg_validation_errors():
+    from yololite_tpu.cfg import get_cfg
+
+    with pytest.raises(SyntaxError):
+        get_cfg(overrides={"epochz": 3})  # typo -> fuzzy suggestion error
+    with pytest.raises(ValueError):
+        get_cfg(overrides={"lr0": 3.0})  # fraction key out of range
+    with pytest.raises(TypeError):
+        get_cfg(overrides={"epochs": "ten"})
+    cfg = get_cfg(overrides={"epochs": 5, "lr0": 0.02})
+    assert cfg.epochs == 5 and cfg.lr0 == 0.02
+
+
+def test_instances_geometry():
+    from yololite_tpu.utils.instance import Instances
+
+    boxes = np.array([[0.5, 0.5, 0.2, 0.4]], np.float32)  # xywh normalized
+    ins = Instances(boxes, bbox_format="xywh", normalized=True)
+    ins.convert_bbox("xyxy")
+    ins.denormalize(100, 200)
+    np.testing.assert_allclose(ins.bboxes, [[40, 60, 60, 140]], atol=1e-4)
+    ins.fliplr(100)
+    np.testing.assert_allclose(ins.bboxes, [[40, 60, 60, 140]], atol=1e-4)  # symmetric box
+    ins.add_padding(10, 20)
+    np.testing.assert_allclose(ins.bboxes, [[50, 80, 70, 160]], atol=1e-4)
+    ins.clip(60, 300)
+    assert ins.bboxes[0, 2] == 60
+    keep = ins.remove_zero_area_boxes()
+    assert keep.all()
+
+
+def test_mosaic4_label_placement():
+    """Mosaic canvas is 2*imgsz and labels stay inside after clipping."""
+    import random
+
+    from yololite_tpu.cfg import get_cfg
+    from yololite_tpu.data.augment import Mosaic
+    from yololite_tpu.utils.instance import Instances
+
+    class FakeDataset:
+        def __init__(self, n=8, size=96):
+            self.n = n
+            self.size = size
+
+        def __len__(self):
+            return self.n
+
+        def get_image_and_label(self, i):
+            rng = np.random.default_rng(i)
+            img = rng.integers(0, 255, (self.size, self.size, 3), np.uint8)
+            return {
+                "im_file": f"im{i}.jpg",
+                "ori_shape": (self.size, self.size),
+                "resized_shape": (self.size, self.size),
+                "img": img,
+                "cls": np.array([[i % 3]], np.float32),
+                "instances": Instances(np.array([[0.5, 0.5, 0.4, 0.4]], np.float32),
+                                       bbox_format="xywh", normalized=True),
+            }
+
+    random.seed(0)
+    ds = FakeDataset()
+    mosaic = Mosaic(ds, imgsz=96, p=1.0, n=4)
+    out = mosaic(ds.get_image_and_label(0))
+    assert out["img"].shape == (192, 192, 3)
+    ins = out["instances"]
+    assert (ins.bboxes >= 0).all() and (ins.bboxes <= 192).all()
+    assert len(out["cls"]) == len(ins)
