@@ -98,3 +98,22 @@ def test_predict_numpy_source(fake_pt):
     img = np.full((240, 320, 3), 128, np.uint8)
     results = m.predict([img, img], conf=0.5, verbose=False, save=False, imgsz=320, batch=2)
     assert len(results) == 2
+
+
+def test_ensemble_two_models(fake_pt, tmp_path):
+    """Ensemble of two checkpoints doubles the candidate pool pre-NMS."""
+    pt, _ = fake_pt
+    import jax.numpy as jnp
+
+    from yololite_tpu.models.ensemble import attempt_load_weights
+
+    ens = attempt_load_weights([pt, pt])
+    assert len(ens.members) == 2
+    x = jnp.zeros((1, 160, 160, 3), jnp.float32)
+    boxes, scores = ens.decode(x)
+    single = ens.members[0]
+    feats = single[0].apply(single[1], single[2], x)
+    a_single = sum(f.shape[1] * f.shape[2] for f in feats)
+    assert boxes.shape[1] == 2 * a_single
+    dets = ens(x, conf_thres=1e-6, max_det=10)
+    assert dets.shape == (1, 10, 6)
