@@ -114,7 +114,24 @@ class DetectionPredictor:
                 max_cand=1024, multi_label=False, agnostic=agnostic, class_mask=class_mask,
             )
 
+        @functools.partial(jax.jit, static_argnames=("imgsz",))
+        def _infer_device_preproc(params, state, raw_uint8, imgsz):
+            """uint8 RGB batch -> device letterbox -> forward -> NMS, one graph.
+
+            Uploads 1 byte/px instead of 4 (host float letterbox), and fuses the
+            resize (two MXU matmuls) with the network (ops/pallas_kernels.py).
+            """
+            from yololite_tpu.ops.pallas_kernels import device_letterbox
+
+            x = device_letterbox(raw_uint8, imgsz=imgsz, out_dtype_name="bfloat16" if half else "float32")
+            boxes, scores = (_forward_tta if augment else _forward_decode)(params, state, x)
+            return non_max_suppression(
+                boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det,
+                max_cand=1024, multi_label=False, agnostic=agnostic, class_mask=class_mask,
+            )
+
         self._infer = _infer
+        self._infer_device_preproc = _infer_device_preproc
 
     def setup_source(self, source):
         self.imgsz = check_imgsz(self.args.imgsz, stride=32, min_dim=2)
@@ -148,19 +165,32 @@ class DetectionPredictor:
         batch_size = int(self.args.batch)
         with self._lock:
             for paths, im0s, infos in Prefetcher(self.dataset, depth=2):
+                n = len(im0s)
+                same_shape = len({im.shape for im in im0s}) == 1
                 with profilers[0]:
-                    im = preprocess_batch(im0s, imgsz=self.imgsz[0])
-                    n = im.shape[0]
-                    if n < batch_size:  # pad tail batch to the compiled shape
-                        im = np.concatenate([im, np.zeros((batch_size - n, *im.shape[1:]), im.dtype)])
+                    if same_shape:
+                        # device path: ship raw uint8, letterbox on the MXU
+                        raw = np.ascontiguousarray(np.stack(im0s)[..., ::-1])  # BGR -> RGB
+                        if n < batch_size:
+                            raw = np.concatenate([raw, np.zeros((batch_size - n, *raw.shape[1:]), raw.dtype)])
+                        input_hw = (self.imgsz[0], self.imgsz[1])
+                    else:
+                        im = preprocess_batch(im0s, imgsz=self.imgsz[0])
+                        if n < batch_size:  # pad tail batch to the compiled shape
+                            im = np.concatenate([im, np.zeros((batch_size - n, *im.shape[1:]), im.dtype)])
+                        input_hw = im.shape[1:3]
                 with profilers[1]:
-                    dets = self._infer(self.params, self.state, jnp.asarray(im))
+                    if same_shape:
+                        dets = self._infer_device_preproc(self.params, self.state, jnp.asarray(raw), self.imgsz[0])
+                    else:
+                        dets = self._infer(self.params, self.state, jnp.asarray(im))
                     dets = np.asarray(jax.block_until_ready(dets))
                 with profilers[2]:
-                    results = self.postprocess(dets[:n], im.shape[1:3], im0s, paths)
+                    results = self.postprocess(dets[:n], input_hw, im0s, paths)
 
                 if self.args.visualize:
-                    self._visualize_features(im[: max(n, 1)])
+                    vis = preprocess_batch(im0s[:1], imgsz=self.imgsz[0])
+                    self._visualize_features(vis)
 
                 for i, result in enumerate(results):
                     self.seen += 1
