@@ -111,7 +111,7 @@ class DetectionPredictor:
             boxes, scores = (_forward_tta if augment else _forward_decode)(params, state, x)
             return non_max_suppression(
                 boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det,
-                max_cand=1024, multi_label=False, agnostic=agnostic, class_mask=class_mask,
+                max_cand=512, multi_label=False, agnostic=agnostic, class_mask=class_mask,
             )
 
         @functools.partial(jax.jit, static_argnames=("imgsz",))
@@ -127,7 +127,7 @@ class DetectionPredictor:
             boxes, scores = (_forward_tta if augment else _forward_decode)(params, state, x)
             return non_max_suppression(
                 boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det,
-                max_cand=1024, multi_label=False, agnostic=agnostic, class_mask=class_mask,
+                max_cand=512, multi_label=False, agnostic=agnostic, class_mask=class_mask,
             )
 
         self._infer = _infer
