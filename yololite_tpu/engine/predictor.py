@@ -22,6 +22,7 @@ import numpy as np
 
 from yololite_tpu.cfg import get_cfg, get_save_dir
 from yololite_tpu.data.build import Prefetcher, load_inference_source
+from yololite_tpu.data.loaders import VID_FORMATS
 from yololite_tpu.engine.results import Results
 from yololite_tpu.ops.decode import decode_detections
 from yololite_tpu.ops.letterbox import preprocess_batch
@@ -201,7 +202,11 @@ class DetectionPredictor:
                     }
                     if self.args.verbose:
                         LOGGER.info(f"{infos[i]}{result.verbose()}{profilers[1].dt * 1e3 / n:.1f}ms")
-                    if self.args.save and getattr(self.dataset, "mode", "image") in ("video", "stream"):
+                    is_video = (
+                        Path(paths[i]).suffix.lower().lstrip(".") in VID_FORMATS
+                        or getattr(self.dataset, "mode", "image") == "stream"
+                    )
+                    if self.args.save and is_video:
                         self._write_video_frame(paths[i], result.plot())
                     elif self.args.save:
                         result.save(str(self.save_dir / Path(paths[i]).name))
