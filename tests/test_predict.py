@@ -117,3 +117,16 @@ def test_ensemble_two_models(fake_pt, tmp_path):
     assert boxes.shape[1] == 2 * a_single
     dets = ens(x, conf_thres=1e-6, max_det=10)
     assert dets.shape == (1, 10, 6)
+
+
+def test_predict_conf_change_rebuilds_graph(fake_pt):
+    """Changing conf between predict calls must take effect (graph is rebuilt)."""
+    pt, _ = fake_pt
+    from yololite_tpu import YOLOLite
+
+    m = YOLOLite(pt)
+    img = np.random.default_rng(0).integers(0, 255, (160, 160, 3), np.uint8)
+    r_low = m.predict([img], conf=1e-7, verbose=False, save=False, imgsz=160)[0]
+    r_high = m.predict([img], conf=0.9999, verbose=False, save=False, imgsz=160)[0]
+    assert len(r_low.boxes) > 0
+    assert len(r_high.boxes) == 0

@@ -86,9 +86,13 @@ class YOLOLite:
         args = {**self.overrides, **custom, **kwargs}
         from yololite_tpu.engine.predictor import DetectionPredictor
 
-        if self.predictor is None or predictor is not None:
+        # NMS/forward settings are baked into the compiled graph; rebuild when they change
+        sig = tuple(args.get(k) if not isinstance(args.get(k), list) else tuple(args.get(k))
+                    for k in ("conf", "iou", "max_det", "agnostic_nms", "augment", "half", "classes"))
+        if self.predictor is None or predictor is not None or getattr(self.predictor, "_sig", None) != sig:
             self.predictor = (predictor or DetectionPredictor)(overrides=args)
             self.predictor.setup_model(self.model, self.params, self.state)
+            self.predictor._sig = sig
         else:
             self.predictor.args = get_cfg(self.predictor.args, kwargs)
         return self.predictor(source=source, stream=stream)
