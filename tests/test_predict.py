@@ -130,3 +130,14 @@ def test_predict_conf_change_rebuilds_graph(fake_pt):
     r_high = m.predict([img], conf=0.9999, verbose=False, save=False, imgsz=160)[0]
     assert len(r_low.boxes) > 0
     assert len(r_high.boxes) == 0
+
+
+def test_embed_returns_pooled_features(fake_pt):
+    pt, _ = fake_pt
+    from yololite_tpu import YOLOLite
+
+    m = YOLOLite(pt)
+    img = np.random.default_rng(0).integers(0, 255, (160, 160, 3), np.uint8)
+    embs = m.embed([img], layers=[4, 6], imgsz=160)
+    assert len(embs) == 1
+    assert embs[0].ndim == 2 and embs[0].shape[0] == 1 and embs[0].shape[1] > 0

@@ -97,6 +97,30 @@ class YOLOLite:
             self.predictor.args = get_cfg(self.predictor.args, kwargs)
         return self.predictor(source=source, stream=stream)
 
+    def embed(self, source, layers=None, imgsz: int = 640):
+        """Return mean-pooled feature embeddings from the given layer indices.
+
+        Counterpart of the reference's `embed` predict argument (predictor returns
+        pooled feature tensors instead of detections).
+        """
+        import numpy as np
+        import jax.numpy as jnp
+
+        from yololite_tpu.models.modules import Ctx
+        from yololite_tpu.ops.letterbox import preprocess_batch
+        from yololite_tpu.data.build import load_inference_source
+
+        layers = layers or [max(self.model.save)]
+        dataset = load_inference_source(source, batch=1)
+        out = []
+        for paths, im0s, infos in dataset:
+            im = preprocess_batch(im0s, imgsz=imgsz)
+            ctx = Ctx(train=False, capture=layers)
+            self.model.apply(self.params, self.state, jnp.asarray(im), ctx=ctx)
+            pooled = [np.asarray(ctx.features[i].mean(axis=(1, 2))) for i in sorted(ctx.features)]
+            out.append(np.concatenate(pooled, axis=-1))
+        return out
+
     def val(self, validator=None, **kwargs):
         # rect=True mirrors the reference val default (model.py:101); shape buckets
         # compile once each and then cache
