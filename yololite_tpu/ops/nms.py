@@ -67,6 +67,8 @@ def _select_candidates(boxes, scores, conf_thres, max_cand, multi_label, class_m
         cls_i = jnp.argmax(scores, axis=-1)
         gated = jnp.where(conf > conf_thres, conf, -1.0)
         vals, bidx = jax.lax.top_k(gated, k)
+        # note: argmax over all anchors beats a per-candidate row gather on TPU
+        # (XLA row-gather of (K, nc) from (A, nc) lowers worse than the dense reduce)
         cls = cls_i[bidx].astype(jnp.float32)
     cand_boxes = boxes[bidx]
     valid = vals > jnp.maximum(conf_thres, 0.0)
