@@ -133,3 +133,48 @@ def test_train_resume(tmp_path):
     t.epochs = 4
     t.train()
     assert t.epoch >= 2  # continued past the restored epoch
+
+
+@needs_ref
+def test_train_auto_optimizer_adamw(tmp_path):
+    """optimizer='auto' resolves to AdamW for small datasets and trains 1 epoch."""
+    from yololite_tpu import YOLOLite
+
+    m = YOLOLite("yolo11n.yaml")
+    m.train(
+        data=str(REFERENCE / "coco8" / "coco8.yaml"),
+        epochs=1, imgsz=128, batch=4, workers=2,
+        project=str(tmp_path / "runs"), name="adamw",
+        close_mosaic=0, val=False, plots=False, save=False, optimizer="auto",
+    )
+    t = m.trainer
+    assert t.opt_name == "AdamW"
+    assert abs(t.lr0 - round(0.002 * 5 / 84, 6)) < 1e-9
+    assert t.args.warmup_bias_lr == 0.0
+
+
+@needs_ref
+def test_native_save_load_roundtrip_predict(tmp_path):
+    """YOLOLite.save -> load: identical detections."""
+    import sys
+
+    sys.path.insert(0, str(REFERENCE))
+    import torch
+    from tests.test_model_parity import _build_reference_model
+
+    tm = _build_reference_model("n")
+    tm.args = {"imgsz": 160}
+    pt = tmp_path / "w.pt"
+    torch.save({"model": tm}, str(pt))
+
+    from yololite_tpu import YOLOLite
+
+    m1 = YOLOLite(str(pt))
+    npz = tmp_path / "w.npz"
+    m1.save(npz)
+    m2 = YOLOLite(str(npz))
+
+    img = np.random.default_rng(3).integers(0, 255, (160, 160, 3), np.uint8)
+    r1 = m1.predict([img], conf=1e-6, imgsz=160, verbose=False, save=False)[0]
+    r2 = m2.predict([img], conf=1e-6, imgsz=160, verbose=False, save=False)[0]
+    np.testing.assert_allclose(r1.boxes.data, r2.boxes.data, rtol=1e-4, atol=1e-3)
