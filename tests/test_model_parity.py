@@ -135,3 +135,12 @@ def test_bn_fusion_exact():
     y1 = m.apply(fp, fs, x)
     for a, b in zip(y0, y1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_gflops_matches_reference_spec():
+    """Analytic conv+dot GFLOPs within 2% of the reference spec table."""
+    for scale, ref in [("n", 6.6), ("s", 21.7)]:
+        m = DetectionModel(f"yolo11{scale}.yaml")
+        p, s = m.init(0)
+        g = m.gflops(p, s, 640)
+        assert abs(g - ref) / ref < 0.02, (scale, g)

@@ -162,7 +162,11 @@ class YOLOLite:
         save_native(path, self.params, self.state, meta)
         return path
 
-    def info(self):
+    def info(self, imgsz: int = 640):
         n = self.model.num_params(self.params)
-        LOGGER.info(f"yolo11{self.model.yaml.get('scale', '?')}: {n:,} parameters, strides {self.model.strides}")
-        return {"params": n, "strides": self.model.strides}
+        g = self.model.gflops(self.params, self.state, imgsz)
+        LOGGER.info(
+            f"yolo11{self.model.yaml.get('scale', '?')}: {n:,} parameters, "
+            f"{g:.1f} GFLOPs @{imgsz}, strides {self.model.strides}"
+        )
+        return {"params": n, "gflops": g, "strides": self.model.strides}

@@ -336,3 +336,37 @@ class DetectionModel:
 
     def num_params(self, params) -> int:
         return count_params(params)
+
+    def gflops(self, params, state, imgsz: int = 640) -> float:
+        """Analytic GFLOPs of one forward at imgsz (counts conv/dot MACs*2).
+
+        Counterpart of the reference's thop-based profile (nn/tasks.py:155-177);
+        computed by tracing the jaxpr, so it needs no device or extra deps.
+        """
+        import jax.numpy as jnp
+
+        x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+        jaxpr = jax.make_jaxpr(lambda p, s, x: self.apply(p, s, x))(params, state, x)
+
+        flops = 0.0
+
+        def walk(jp):
+            nonlocal flops
+            for eqn in jp.eqns:
+                if eqn.primitive.name == "conv_general_dilated":
+                    out = eqn.outvars[0].aval.shape
+                    rhs = eqn.invars[1].aval.shape  # HWIO
+                    kh, kw, cin_g, _ = rhs
+                    flops += 2.0 * np.prod(out) * cin_g * kh * kw
+                elif eqn.primitive.name in ("dot_general",):
+                    lhs = eqn.invars[0].aval.shape
+                    out = eqn.outvars[0].aval.shape
+                    (lc, _), _ = eqn.params["dimension_numbers"]
+                    k = np.prod([lhs[i] for i in lc])
+                    flops += 2.0 * np.prod(out) * k
+                for sub in eqn.params.values():
+                    if hasattr(sub, "jaxpr"):
+                        walk(sub.jaxpr)
+
+        walk(jaxpr.jaxpr)
+        return float(flops) / 1e9
