@@ -33,6 +33,9 @@ def main():
 
     model = DetectionModel("yolo11n.yaml")
     params, state = model.init(0)
+    from yololite_tpu.models.modules import fuse_tree
+
+    params, state = fuse_tree(params, state)  # fold BN (inference path)
     cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
     params_h = jax.device_put(cast(params))
     state_h = jax.device_put(cast(state))
@@ -44,9 +47,9 @@ def main():
         def loop(images, salt):
             def body(c, _):
                 feats = model.apply(params_h, state_h, images + c.astype(images.dtype), train=False)
-                feats = [f.astype(jnp.float32) for f in feats]
+                # bf16 scores through decode+NMS (boxes fp32 for IoU accuracy)
                 boxes, scores = decode_detections(feats, model.strides, model.nc, model.reg_max, xywh=False)
-                dets = non_max_suppression(boxes, scores, conf_thres=0.25, iou_thres=0.7,
+                dets = non_max_suppression(boxes.astype(jnp.float32), scores, conf_thres=0.25, iou_thres=0.7,
                                            max_det=300, max_cand=512)
                 return (jnp.sum(dets) * 1e-12).astype(jnp.float32), None
 

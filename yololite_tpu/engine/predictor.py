@@ -82,8 +82,10 @@ class DetectionPredictor:
 
         def _forward_decode(params, state, x):
             feats = model.apply(params, state, x, train=False)
-            feats = [f.astype(jnp.float32) for f in feats]
-            return decode_detections(feats, strides, nc, reg_max, xywh=False)
+            if not half:  # half path keeps bf16 scores through decode+NMS (boxes fp32)
+                feats = [f.astype(jnp.float32) for f in feats]
+            boxes, scores = decode_detections(feats, strides, nc, reg_max, xywh=False)
+            return boxes.astype(jnp.float32), scores
 
         def _forward_tta(params, state, x):
             """Test-time augmentation: multi-scale + horizontal flip, merged pre-NMS

@@ -81,8 +81,10 @@ def _finalize(cand_boxes, vals, cls, keep, max_det):
     final_scores = jnp.where(keep, vals, -1.0)
     out_vals, oidx = jax.lax.top_k(final_scores, min(max_det, k))
     ok = out_vals > 0
+    dt = cand_boxes.dtype
     out = jnp.concatenate(
-        [cand_boxes[oidx], jnp.where(ok, out_vals, 0.0)[:, None], cls[oidx][:, None]], axis=-1
+        [cand_boxes[oidx], jnp.where(ok, out_vals, 0.0).astype(dt)[:, None], cls[oidx].astype(dt)[:, None]],
+        axis=-1,
     )
     out = jnp.where(ok[:, None], out, 0.0)
     if out.shape[0] < max_det:
