@@ -141,3 +141,34 @@ def test_embed_returns_pooled_features(fake_pt):
     embs = m.embed([img], layers=[4, 6], imgsz=160)
     assert len(embs) == 1
     assert embs[0].ndim == 2 and embs[0].shape[0] == 1 and embs[0].shape[1] > 0
+
+
+def test_inference_pipeline_sustained(fake_pt):
+    """Double-buffered serving pipeline: all tickets complete, latency tracked."""
+    import time
+
+    pt, _ = fake_pt
+    from yololite_tpu import YOLOLite
+    from yololite_tpu.runtime import InferencePipeline
+    from yololite_tpu.engine.predictor import DetectionPredictor
+
+    m = YOLOLite(pt)
+    pred = DetectionPredictor(overrides={"conf": 0.25, "batch": 2, "imgsz": 160, "mode": "predict",
+                                         "verbose": False, "save": False})
+    pred.setup_model(m.model, m.params, m.state)
+    pipe = InferencePipeline(pred, imgsz=160).start()
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (120, 160, 3), np.uint8) for _ in range(2)]
+    t0 = time.perf_counter()
+    for _ in range(5):
+        pipe.submit(frames)
+    pipe.close()
+    got = list(pipe.results())
+    wall = time.perf_counter() - t0
+    assert len(got) == 5
+    for ticket, dets in got:
+        assert dets.shape == (2, 300, 6)
+    s = pipe.summary(wall)
+    assert s["completed"] == 10
+    assert s["p50_ms"] > 0
