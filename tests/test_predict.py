@@ -172,3 +172,19 @@ def test_inference_pipeline_sustained(fake_pt):
     s = pipe.summary(wall)
     assert s["completed"] == 10
     assert s["p50_ms"] > 0
+
+
+def test_pytree_to_state_dict_roundtrip(fake_pt):
+    """Inverse weight export: our pytrees -> torch state_dict, bit-exact reload."""
+    import torch
+
+    pt, tm = fake_pt
+    from yololite_tpu.models.checkpoint import load_pt, pytree_to_state_dict
+
+    model, params, state, meta = load_pt(pt)
+    sd = pytree_to_state_dict(params, state)
+    ref_sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    for k, v in sd.items():
+        np.testing.assert_allclose(np.asarray(v), ref_sd[k], atol=1e-6, err_msg=k)
+    skipped = {k for k in ref_sd if k not in sd}
+    assert all("num_batches" in k or "dfl" in k for k in skipped)

@@ -1,0 +1,123 @@
+"""End-to-end mAP parity harness: our validator vs the reference's, same weights.
+
+The BASELINE.json headline: "coco8 mAP50-95 within 1e-3 of the PyTorch reference".
+The pretrained yolo11n.pt is absent from the mount, so weights come from a
+checkpoint trained by THIS framework (tools-level flow):
+
+  1. load a native .npz checkpoint (e.g. /tmp/tpu_runs/overfit/weights/last.npz)
+  2. export to a reference-format .pt via pytree_to_state_dict
+  3. run the REFERENCE val stack end-to-end (its dataloader, letterbox, NMS --
+     torchvision.ops.nms is absent from this image, so a semantics-exact greedy
+     torch implementation is injected)
+  4. run OUR validator with the same weights
+  5. compare mAP
+
+Usage: python tools/parity_eval.py [ckpt.npz] [imgsz]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+REFERENCE = Path("/root/reference")
+
+
+def install_torchvision_stub():
+    """Provide torchvision.ops.nms with exact torchvision semantics (greedy,
+    score-descending, suppress IoU strictly greater than the threshold)."""
+    import torch
+
+    def nms(boxes: "torch.Tensor", scores: "torch.Tensor", iou_threshold: float) -> "torch.Tensor":
+        idx = scores.argsort(descending=True)
+        keep = []
+        while idx.numel() > 0:
+            i = idx[0]
+            keep.append(int(i))
+            if idx.numel() == 1:
+                break
+            rest = idx[1:]
+            b1 = boxes[i]
+            b2 = boxes[rest]
+            lt = torch.maximum(b1[:2], b2[:, :2])
+            rb = torch.minimum(b1[2:], b2[:, 2:])
+            inter = (rb - lt).clamp(min=0).prod(dim=1)
+            area1 = (b1[2] - b1[0]) * (b1[3] - b1[1])
+            area2 = (b2[:, 2] - b2[:, 0]) * (b2[:, 3] - b2[:, 1])
+            iou = inter / (area1 + area2 - inter + 1e-7)
+            idx = rest[iou <= iou_threshold]
+        return torch.tensor(keep, dtype=torch.long)
+
+    tv = types.ModuleType("torchvision")
+    tv.ops = types.SimpleNamespace(nms=nms)
+    tv.__version__ = "0.0-stub"
+    sys.modules["torchvision"] = tv
+    return tv
+
+
+def main(ckpt="/tmp/tpu_runs/overfit/weights/last.npz", imgsz=320):
+    import numpy as np
+
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+    import jax
+
+    if os.environ.get("PARITY_CPU", "1") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
+    import torch
+
+    install_torchvision_stub()
+    sys.path.insert(0, str(REFERENCE))
+
+    from yololite_tpu.models.checkpoint import attempt_load_one_weight, pytree_to_state_dict
+
+    model, params, state, meta = attempt_load_one_weight(ckpt)
+    sd = pytree_to_state_dict(params, state)
+
+    # ---- reference stack ----
+    from tests.test_model_parity import _build_reference_model
+
+    tm = _build_reference_model(meta.get("cfg", "yolo11n.yaml").replace("yolo11", "").replace(".yaml", "") or "n")
+    missing, unexpected = tm.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()}, strict=False
+    )
+    real_missing = [m for m in missing if "num_batches" not in m and "dfl" not in m]
+    assert not real_missing, f"missing keys: {real_missing[:5]}"
+    tm.args = {"imgsz": imgsz}
+    tm.names = model.names
+    pt = "/tmp/parity_export.pt"
+    torch.save({"model": tm, "train_args": {"imgsz": imgsz, "data": str(REFERENCE / "coco8" / "coco8.yaml")}}, pt)
+
+    from yololite.engine.model import YOLOLite as RefYOLO
+
+    ref_metrics = RefYOLO(pt).val(
+        data=str(REFERENCE / "coco8" / "coco8.yaml"), imgsz=imgsz, batch=4, plots=False, verbose=False,
+        save_json=False, project="/tmp/parity_runs", name="ref", exist_ok=True, device="cpu",
+    )
+    ref_map = float(ref_metrics.box.map)
+    ref_map50 = float(ref_metrics.box.map50)
+
+    # ---- our stack ----
+    from yololite_tpu import YOLOLite
+
+    ours = YOLOLite(ckpt)
+    my_metrics = ours.val(
+        data=str(REFERENCE / "coco8" / "coco8.yaml"), imgsz=imgsz, batch=4, rect=True,
+        plots=False, verbose=False, project="/tmp/parity_runs", name="tpu", exist_ok=True,
+    )
+    my_map = float(my_metrics.box.map)
+    my_map50 = float(my_metrics.box.map50)
+
+    print(f"reference: mAP50-95={ref_map:.5f}  mAP50={ref_map50:.5f}")
+    print(f"ours:      mAP50-95={my_map:.5f}  mAP50={my_map50:.5f}")
+    print(f"delta:     mAP50-95={abs(ref_map - my_map):.5f}  mAP50={abs(ref_map50 - my_map50):.5f}")
+    return ref_map, my_map
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    main(*args) if args else main()

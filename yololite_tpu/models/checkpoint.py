@@ -216,6 +216,50 @@ def load_pt(path, nc: Optional[int] = None) -> Tuple[DetectionModel, Dict, Dict,
     return model, params, state, meta
 
 
+def pytree_to_state_dict(params: Dict, state: Dict, prefix: str = "model.") -> Dict[str, np.ndarray]:
+    """Inverse of map_state_dict_into: our pytrees -> torch-named numpy arrays.
+
+    Lets a trained JAX checkpoint be loaded back into the reference torch model
+    (used by the end-to-end mAP parity harness).
+    """
+    out: Dict[str, np.ndarray] = {}
+
+    def walk_params(node, path):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk_params(v, path + (k,))
+                continue
+            v = np.asarray(v)
+            name = ".".join(path)
+            if k == "w":
+                out[f"{prefix}{name}.weight" if name else f"{prefix}weight"] = v.transpose(3, 2, 0, 1)
+            elif k == "wt":
+                out[f"{prefix}{name}.weight"] = v.transpose(2, 3, 0, 1)[:, :, ::-1, ::-1].copy()
+            elif k == "b":
+                out[f"{prefix}{name}.bias"] = v
+            elif k == "scale":  # bn scale lives under a 'bn' path component
+                out[f"{prefix}{name}.weight"] = v
+            elif k in ("bias", "weight", "in_proj_weight", "in_proj_bias"):
+                out[f"{prefix}{name}.{k}"] = v
+            else:  # pragma: no cover
+                raise KeyError(f"unmapped param leaf '{k}' at {name}")
+
+    def walk_state(node, path):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk_state(v, path + (k,))
+                continue
+            name = ".".join(path)
+            if k == "mean":
+                out[f"{prefix}{name}.running_mean"] = np.asarray(v)
+            elif k == "var":
+                out[f"{prefix}{name}.running_var"] = np.asarray(v)
+
+    walk_params(params, ())
+    walk_state(state, ())
+    return out
+
+
 # ---- native checkpoint format (.npz + json header) ----
 
 
