@@ -59,7 +59,24 @@ def install_torchvision_stub():
     return tv
 
 
-def main(ckpt="/tmp/tpu_runs/overfit/weights/last.npz", imgsz=320):
+def stage_coco8() -> str:
+    """Copy coco8 to a writable dir with an absolute-path yaml (the reference
+    resolves relative dataset paths against cwd and writes label caches)."""
+    import shutil
+
+    work = Path("/tmp/coco8_work")
+    if not (work / "coco8.yaml").exists():
+        shutil.copytree(REFERENCE / "coco8", work, dirs_exist_ok=True)
+        y = (work / "coco8.yaml").read_text()
+        y = y.replace("path: ../coco8", f"path: {work}")
+        (work / "coco8.yaml").write_text(y)
+        for stale in work.rglob("*.cache*"):  # shipped caches predate the reference's cache version
+            stale.unlink()
+    return str(work / "coco8.yaml")
+
+
+def main(ckpt="/tmp/tpu_runs/overfit/weights/last.npz", imgsz=320, split="val"):
+    imgsz = int(imgsz)
     import numpy as np
 
     os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
@@ -90,12 +107,47 @@ def main(ckpt="/tmp/tpu_runs/overfit/weights/last.npz", imgsz=320):
     tm.args = {"imgsz": imgsz}
     tm.names = model.names
     pt = "/tmp/parity_export.pt"
-    torch.save({"model": tm, "train_args": {"imgsz": imgsz, "data": str(REFERENCE / "coco8" / "coco8.yaml")}}, pt)
+    data_yaml = stage_coco8()
+    torch.save({"model": tm, "train_args": {"imgsz": imgsz, "data": data_yaml}}, pt)
+
+    # Latent reference bug: AutoBackend calls model.fuse() (autobackend.py:74) but
+    # YOLO-Lite's DetectionModel never defines fuse/is_fused (stripped from
+    # Ultralytics) -- standalone .pt val crashes upstream. Patch no-op fuse so the
+    # reference stack can actually run.
+    from yololite.nn.tasks import DetectionModel as RefDetectionModel
+
+    if not hasattr(RefDetectionModel, "fuse"):
+        RefDetectionModel.fuse = lambda self, verbose=False: self
+
+    # Second latent reference bug: cache_labels (dataset.py:167-210) never writes a
+    # "version" key, but get_labels (dataset.py:310) pops it unconditionally --
+    # any freshly built label cache crashes. Patch version into fresh caches.
+    from yololite.data.dataset import YOLODataset as RefDS
+
+    _orig_cache = RefDS.cache_labels
+
+    def _patched_cache(self, path=Path("./labels.cache")):
+        x = _orig_cache(self, path)
+        x.setdefault("version", "parity-patch")
+        return x
+
+    RefDS.cache_labels = _patched_cache
+
+    import yololite.data.dataset as ref_dataset_mod
+
+    _orig_load = ref_dataset_mod.load_dataset_cache_file
+
+    def _patched_load(path):
+        x = _orig_load(path)
+        x.setdefault("version", "parity-patch")  # on-disk caches written by the buggy saver
+        return x
+
+    ref_dataset_mod.load_dataset_cache_file = _patched_load
 
     from yololite.engine.model import YOLOLite as RefYOLO
 
     ref_metrics = RefYOLO(pt).val(
-        data=str(REFERENCE / "coco8" / "coco8.yaml"), imgsz=imgsz, batch=4, plots=False, verbose=False,
+        data=data_yaml, imgsz=imgsz, batch=4, plots=False, verbose=False, split=split,
         save_json=False, project="/tmp/parity_runs", name="ref", exist_ok=True, device="cpu",
     )
     ref_map = float(ref_metrics.box.map)
@@ -106,7 +158,7 @@ def main(ckpt="/tmp/tpu_runs/overfit/weights/last.npz", imgsz=320):
 
     ours = YOLOLite(ckpt)
     my_metrics = ours.val(
-        data=str(REFERENCE / "coco8" / "coco8.yaml"), imgsz=imgsz, batch=4, rect=True,
+        data=data_yaml, imgsz=imgsz, batch=4, rect=True, split=split,
         plots=False, verbose=False, project="/tmp/parity_runs", name="tpu", exist_ok=True,
     )
     my_map = float(my_metrics.box.map)

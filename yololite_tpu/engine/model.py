@@ -61,6 +61,8 @@ class YOLOLite:
 
     def _load_native(self, path: str):
         params, state, meta = load_native(path)
+        if "model_state" in state:  # trainer checkpoints nest BN stats under model_state
+            state = state["model_state"]
         cfg = meta.get("cfg", "yolo11n.yaml")
         self.model = DetectionModel(cfg, nc=meta.get("nc"))
         if meta.get("names"):

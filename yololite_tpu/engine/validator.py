@@ -150,13 +150,19 @@ class DetectionValidator:
         ratio_pad = batch["ratio_pad"][si]
         if len(cls):
             bbox = xywh2xyxy(bbox) * np.array([imgsz[1], imgsz[0], imgsz[1], imgsz[0]], np.float32)
-            bbox = scale_boxes_np(imgsz, bbox, ori_shape)
+            # use the dataset's exact (ratio, pad) like the reference (validator.py:235-260);
+            # recomputing the pad rounds differently by up to 0.5px and flips high-IoU matches
+            rp = ratio_pad if isinstance(ratio_pad, (tuple, list)) and len(ratio_pad) == 2 and isinstance(
+                ratio_pad[0], (tuple, list)) else None
+            bbox = scale_boxes_np(imgsz, bbox, ori_shape, ratio_pad=rp)
         return {"cls": cls, "bbox": bbox, "ori_shape": ori_shape, "imgsz": imgsz, "ratio_pad": ratio_pad}
 
     def _prepare_pred(self, det: np.ndarray, pbatch: Dict) -> np.ndarray:
         det = det[det[:, 4] > 0].copy()
         if len(det):
-            det[:, :4] = scale_boxes_np(pbatch["imgsz"], det[:, :4], pbatch["ori_shape"])
+            rp = pbatch.get("ratio_pad")
+            rp = rp if isinstance(rp, (tuple, list)) and len(rp) == 2 and isinstance(rp[0], (tuple, list)) else None
+            det[:, :4] = scale_boxes_np(pbatch["imgsz"], det[:, :4], pbatch["ori_shape"], ratio_pad=rp)
         if self.args.single_cls:
             det[:, 5] = 0
         return det
