@@ -308,14 +308,55 @@ def _has_leaves(tree) -> bool:
     return any(_has_leaves(v) for v in tree.values())
 
 
+def _fetch_tree_packed(flat: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Device->host fetch of many leaves in ONE transfer per dtype.
+
+    Fetching each leaf separately costs a round-trip per leaf (~700 RPCs for a
+    yolo11 training state); concatenating raveled leaves on device first makes
+    checkpoint saves latency-bound by O(dtypes) transfers instead.
+    """
+    jax_leaves = {k: v for k, v in flat.items() if isinstance(v, jnp.ndarray)}
+    out = {k: np.asarray(v) for k, v in flat.items() if not isinstance(v, jnp.ndarray)}
+    by_dtype: Dict[Any, list] = {}
+    for k, v in jax_leaves.items():
+        by_dtype.setdefault(v.dtype, []).append(k)
+    CHUNK = 128  # leaves per device-concat: keeps each concat's compile small/cacheable
+    for dtype, keys in by_dtype.items():
+        for i in range(0, len(keys), CHUNK):
+            chunk = keys[i : i + CHUNK]
+            packed = (
+                jnp.concatenate([jax_leaves[k].ravel() for k in chunk]) if len(chunk) > 1
+                else jax_leaves[chunk[0]].ravel()
+            )
+            host = np.asarray(packed)  # one transfer per chunk
+            off = 0
+            for k in chunk:
+                n = int(np.prod(jax_leaves[k].shape)) if jax_leaves[k].shape else 1
+                out[k] = host[off : off + n].reshape(jax_leaves[k].shape)
+                off += n
+    return out
+
+
 def save_native(path, params: Dict, state: Dict, meta: Optional[Dict] = None):
     """Save params/state (+ json meta) to a single .npz container."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    flat = {f"params.{k}": v for k, v in _flatten(params).items()}
-    flat.update({f"state.{k}": v for k, v in _flatten(state).items()})
+    flat = {f"params.{k}": v for k, v in _flatten_keep(params).items()}
+    flat.update({f"state.{k}": v for k, v in _flatten_keep(state).items()})
+    flat = _fetch_tree_packed(flat)
     flat["__meta__"] = np.frombuffer(json.dumps(meta or {}, default=str).encode(), dtype=np.uint8)
     np.savez(path, **flat)
+
+
+def _flatten_keep(tree: Dict, prefix=()) -> Dict[str, Any]:
+    """Like _flatten but keeps jax arrays as-is (no per-leaf host transfer)."""
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten_keep(v, prefix + (k,)))
+        else:
+            out[".".join(prefix + (k,))] = v
+    return out
 
 
 def strip_optimizer(path, out_path=None) -> Path:
