@@ -143,8 +143,8 @@ class DetectionTrainer:
             from yololite_tpu.engine.validator import DetectionValidator
 
             vargs = {k: v for k, v in vars(self.args).items() if not isinstance(v, Path)}
-            vargs.update({"mode": "val", "rect": False, "conf": 0.001, "plots": False, "verbose": False,
-                          "save_json": False})
+            vargs.update({"mode": "val", "rect": True, "conf": 0.001, "plots": False, "verbose": False,
+                          "save_json": False})  # rect val batches, like the reference trainer
             self.validator = DetectionValidator(save_dir=self.save_dir, args=vargs)
         else:
             self.validator = None
