@@ -1,0 +1,85 @@
+"""Training-step throughput benchmark (full jitted step: forward+TAL loss+backward
++clip+SGD+EMA) at 640px. Usage: python tools/train_bench.py [batch]"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main(batch=16):
+    batch = int(batch)
+    import jax
+    import jax.numpy as jnp
+
+    from yololite_tpu.engine import optim
+    from yololite_tpu.models.model import DetectionModel
+    from yololite_tpu.models import modules as M
+    from yololite_tpu.utils.ema import ema_update
+    from yololite_tpu.utils.loss import build_targets, v8DetectionLoss
+
+    model = DetectionModel("yolo11n.yaml")
+    params, state = model.init(0)
+    loss_fn = v8DetectionLoss(model.nc, model.strides, model.reg_max)
+    labels_tree = optim.build_group_labels(params)
+    opt_state = optim.init_state(params)
+
+    S, MG = 640, 64
+    rng = np.random.default_rng(0)
+    images = jax.device_put(jnp.asarray(rng.random((batch, S, S, 3), np.float32)))
+    t = build_targets(
+        {
+            "batch_idx": np.repeat(np.arange(batch, dtype=np.float32), 4),
+            "cls": np.tile(np.arange(4, dtype=np.float32)[:, None], (batch, 1)),
+            "bboxes": np.tile(rng.uniform(0.2, 0.8, (4, 4)).astype(np.float32), (batch, 1)),
+        },
+        batch, (S, S), MG,
+    )
+    t = {k: jax.device_put(jnp.asarray(v)) for k, v in t.items()}
+
+    @jax.jit
+    def step(params, state, opt_state, ema, images, gl, gb, mg, lr):
+        def lossf(p):
+            ctx = M.Ctx(train=True)
+            feats = model.apply(p, state, images, train=True, ctx=ctx)
+            total, items = loss_fn(feats, {"gt_labels": gl, "gt_bboxes": gb, "mask_gt": mg})
+            return total, items
+
+        (total, items), grads = jax.value_and_grad(lossf, has_aux=True)(params)
+        grads, _ = optim.clip_by_global_norm(grads, 10.0)
+        lr_vec = jnp.stack([lr, lr, lr])
+        params, opt_state = optim.sgd_update(params, grads, opt_state, labels_tree, lr_vec, 0.9, 5e-4)
+        ema = ema_update(ema, params, jnp.asarray(1))
+        return params, opt_state, ema, total
+
+    ITERS = 10
+    ema = jax.tree.map(jnp.copy, params)
+
+    @jax.jit
+    def loop(params, state, opt_state, ema, images, gl, gb, mg):
+        def body(carry, _):
+            params, opt_state, ema, tot = carry
+            params, opt_state, ema, total = step(params, state, opt_state, ema, images, gl, gb, mg,
+                                                 jnp.float32(0.01))
+            return (params, opt_state, ema, total), None
+
+        (params, opt_state, ema, total), _ = jax.lax.scan(
+            body, (params, opt_state, ema, jnp.float32(0)), None, length=ITERS
+        )
+        return total
+
+    args = (params, state, opt_state, ema, images, t["gt_labels"], t["gt_bboxes"], t["mask_gt"])
+    float(loop(*args))  # compile + run
+    t0 = time.perf_counter()
+    float(loop(*args))
+    dt = (time.perf_counter() - t0) / ITERS
+    print(f"train step bs={batch} 640px: {dt * 1e3:.1f} ms/step -> {batch / dt:.0f} img/s")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:]) if sys.argv[1:] else main()
