@@ -1,5 +1,5 @@
 """Training-step throughput benchmark (full jitted step: forward+TAL loss+backward
-+clip+SGD+EMA) at 640px. Usage: python tools/train_bench.py [batch]"""
++clip+SGD+EMA) at 640px. Usage: python tools/train_bench.py [batch] [amp]"""
 
 from __future__ import annotations
 
@@ -12,8 +12,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
-def main(batch=16):
+def main(batch=16, amp="0"):
     batch = int(batch)
+    amp = str(amp) == "1"
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +47,9 @@ def main(batch=16):
     def step(params, state, opt_state, ema, images, gl, gb, mg, lr):
         def lossf(p):
             ctx = M.Ctx(train=True)
-            feats = model.apply(p, state, images, train=True, ctx=ctx)
+            x = images.astype(jnp.bfloat16) if amp else images
+            feats = model.apply(p, state, x, train=True, ctx=ctx)
+            feats = [f.astype(jnp.float32) for f in feats]
             total, items = loss_fn(feats, {"gt_labels": gl, "gt_bboxes": gb, "mask_gt": mg})
             return total, items
 
@@ -78,7 +81,7 @@ def main(batch=16):
     t0 = time.perf_counter()
     float(loop(*args))
     dt = (time.perf_counter() - t0) / ITERS
-    print(f"train step bs={batch} 640px: {dt * 1e3:.1f} ms/step -> {batch / dt:.0f} img/s")
+    print(f"train step bs={batch} 640px amp={amp}: {dt * 1e3:.1f} ms/step -> {batch / dt:.0f} img/s")
 
 
 if __name__ == "__main__":

@@ -58,13 +58,18 @@ def _kaiming_uniform(kg: "KeyGen", shape, fan_in):
 
 
 def conv2d(x, w, stride=1, padding=0, groups=1, dilation=1):
-    """NHWC conv with HWIO weights; stride/padding/dilation may be int or (h, w)."""
+    """NHWC conv with HWIO weights; stride/padding/dilation may be int or (h, w).
+
+    Dtype-polymorphic: weights follow the activation dtype (bf16 activations with
+    fp32 master weights = mixed-precision training; the cast is differentiable so
+    gradients land on the fp32 leaves).
+    """
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
     p = (padding, padding) if isinstance(padding, int) else tuple(padding)
     d = (dilation, dilation) if isinstance(dilation, int) else tuple(dilation)
     return jax.lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=s,
         padding=[(p[0], p[0]), (p[1], p[1])],
         rhs_dilation=d,
@@ -74,10 +79,15 @@ def conv2d(x, w, stride=1, padding=0, groups=1, dilation=1):
 
 
 def batchnorm(params, state, x, ctx: Ctx, path):
-    """BatchNorm2d over NHWC with torch semantics (running stats, unbiased var update)."""
+    """BatchNorm2d over NHWC with torch semantics (running stats, unbiased var).
+
+    Statistics always compute in fp32 (torch autocast keeps BN fp32); the
+    normalized output returns in the activation dtype.
+    """
+    x32 = x.astype(jnp.float32)
     if ctx.train:
-        mean = jnp.mean(x, axis=(0, 1, 2))
-        var = jnp.var(x, axis=(0, 1, 2))
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        var = jnp.var(x32, axis=(0, 1, 2))
         n = x.shape[0] * x.shape[1] * x.shape[2]
         unbiased = var * (n / max(n - 1, 1))
         ctx.updates[path] = {
@@ -85,9 +95,9 @@ def batchnorm(params, state, x, ctx: Ctx, path):
             "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
         }
     else:
-        mean, var = state["mean"], state["var"]
-    inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"]
-    return x * inv + (params["bias"] - mean * inv)
+        mean, var = state["mean"].astype(jnp.float32), state["var"].astype(jnp.float32)
+    inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"].astype(jnp.float32)
+    return (x32 * inv + (params["bias"].astype(jnp.float32) - mean * inv)).astype(x.dtype)
 
 
 class Module:
@@ -133,7 +143,7 @@ class Conv(Module):
         if "bn" in params:
             y = batchnorm(params["bn"], state["bn"], y, ctx, path + ("bn",))
         else:  # BN folded into the conv at fuse time (reference torch_utils.py:182-209)
-            y = y + params["conv"]["b"]
+            y = y + params["conv"]["b"].astype(y.dtype)
         return self._act(y)
 
     @staticmethod
@@ -192,7 +202,7 @@ class Conv2d(Module):
         )
 
     def __call__(self, params, state, x, ctx, path=()):
-        return conv2d(x, params["w"], self.s, self.p, self.g) + params["b"]
+        return conv2d(x, params["w"], self.s, self.p, self.g) + params["b"].astype(x.dtype)
 
 
 class DWConv(Conv):

@@ -162,8 +162,8 @@ class ConvTranspose2d(Module):
         return params, {}
 
     def __call__(self, params, state, x, ctx, path=()):
-        y = conv_transpose2d(x, params["wt"], self.s, self.k, self.p)
-        return y + params["b"] if self.has_bias else y
+        y = conv_transpose2d(x, params["wt"].astype(x.dtype), self.s, self.k, self.p)
+        return y + params["b"].astype(x.dtype) if self.has_bias else y
 
 
 class ConvTranspose(_Composite):
