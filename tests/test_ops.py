@@ -145,3 +145,18 @@ def test_letterbox_geometry_vs_reference_math():
     assert out2.shape == (64, 64, 3)
     col = out2[:, 32, 0]
     assert (col[:16] == 114).all() and (col[-16:] == 114).all()
+
+
+def test_nms_serve_mode_runs():
+    """Serve mode (approx top-k + fast suppression) returns a valid padded tensor."""
+    rng = np.random.default_rng(4)
+    boxes = rng.uniform(0, 600, (2, 400, 4)).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + rng.uniform(5, 50, (2, 400, 2))
+    scores = (rng.random((2, 400, 3)) ** 4).astype(np.float32)
+    out = np.asarray(
+        non_max_suppression(jnp.asarray(boxes), jnp.asarray(scores), conf_thres=0.2, iou_thres=0.5,
+                            max_det=50, max_cand=128, mode="serve")
+    )
+    assert out.shape == (2, 50, 6)
+    got = out[out[..., 4] > 0]
+    assert (got[:, 4] > 0.2).all()
