@@ -85,3 +85,28 @@ def test_loss_gradients_finite():
     grads0 = jax.grad(lambda fs: loss(fs, targets0)[0])(feats)
     for g in grads0:
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_build_targets_truncation_warns(caplog):
+    """Overflowing the static max_gt cap must warn, not silently drop (VERDICT r1 weak#6)."""
+    import logging
+
+    from yololite_tpu.utils import loss as L
+
+    L._TRUNC_WARNED = False
+    n = 12
+    batch = {
+        "batch_idx": np.zeros(n, np.float32),
+        "cls": np.zeros((n, 1), np.float32),
+        "bboxes": np.tile(np.array([[0.5, 0.5, 0.2, 0.2]], np.float32), (n, 1)),
+    }
+    from yololite_tpu.utils import LOGGER
+
+    LOGGER.propagate = True  # let caplog's root handler see the record
+    try:
+        with caplog.at_level(logging.WARNING, logger="yololite_tpu"):
+            t = L.build_targets(batch, 1, (64, 64), max_gt=8)
+    finally:
+        LOGGER.propagate = False
+    assert t["mask_gt"].sum() == 8
+    assert any("max_gt" in r.message for r in caplog.records)

@@ -144,3 +144,38 @@ def test_gflops_matches_reference_spec():
         p, s = m.init(0)
         g = m.gflops(p, s, 640)
         assert abs(g - ref) / ref < 0.02, (scale, g)
+
+
+def test_parse_spec_strides_extended_zoo():
+    """Detect strides must account for ALL downsampling modules (ADVICE r1 #3)."""
+    from yololite_tpu.models.model import parse_spec
+
+    spec = {
+        "nc": 80,
+        "backbone": [
+            [-1, 1, "Focus", [64, 3]],        # /2
+            [-1, 1, "Conv", [128, 3, 2]],     # /4
+            [-1, 1, "ADown", [128]],          # /8
+            [-1, 1, "SCDown", [256, 3, 2]],   # /16
+            [-1, 1, "AConv", [256]],          # /32
+        ],
+        "head": [
+            [[2, 3, 4], 1, "Detect", ["nc"]],
+        ],
+    }
+    rows, save, nc, strides = parse_spec(spec)
+    assert strides == [8, 16, 32], strides
+
+
+def test_parse_spec_rejects_non_pow2_stride():
+    import pytest
+
+    from yololite_tpu.models.model import parse_spec
+
+    spec = {
+        "nc": 2,
+        "backbone": [[-1, 1, "Conv", [16, 3, 3]]],  # stride 3 -> not a power of two
+        "head": [[[0], 1, "Detect", ["nc"]]],
+    }
+    with pytest.raises(ValueError):
+        parse_spec(spec)

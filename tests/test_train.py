@@ -178,3 +178,90 @@ def test_native_save_load_roundtrip_predict(tmp_path):
     r1 = m1.predict([img], conf=1e-6, imgsz=160, verbose=False, save=False)[0]
     r2 = m2.predict([img], conf=1e-6, imgsz=160, verbose=False, save=False)[0]
     np.testing.assert_allclose(r1.boxes.data, r2.boxes.data, rtol=1e-4, atol=1e-3)
+
+
+def test_frozen_params_not_decayed():
+    """Frozen leaves (trainable=0) must not move: no decay, no update (ADVICE r1 #2).
+
+    Torch skips grad-less params entirely; with the freeze mask zeroing only the
+    gradient, weight decay would still shrink frozen weights every step.
+    """
+    import jax.numpy as jnp
+
+    from yololite_tpu.engine import optim
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((4, 3)).astype(np.float32)
+    params = {"a": jnp.asarray(w), "b": jnp.asarray(w.copy())}
+    labels = {"a": optim.GROUP_WEIGHT, "b": optim.GROUP_WEIGHT}
+    trainable = {"a": 0.0, "b": 1.0}
+    lr_vec = jnp.asarray([0.01, 0.01, 0.01])
+    zero_g = {"a": jnp.zeros_like(params["a"]), "b": jnp.zeros_like(params["b"])}
+
+    for update, extra in (
+        (optim.sgd_update, dict(momentum=0.9, weight_decay=0.05)),
+        (optim.adamw_update, dict(beta1=0.9, weight_decay=0.05)),
+        (optim.adam_update, dict(beta1=0.9, weight_decay=0.05)),
+        (optim.rmsprop_update, dict(momentum=0.9, weight_decay=0.05)),
+    ):
+        p, st = dict(params), optim.init_state(params)
+        for _ in range(3):
+            p, st = update(p, zero_g, st, labels, lr_vec, *extra.values(), trainable=trainable)
+        np.testing.assert_array_equal(np.asarray(p["a"]), w, err_msg=f"{update.__name__} moved frozen leaf")
+        assert not np.allclose(np.asarray(p["b"]), w), f"{update.__name__} failed to decay trainable leaf"
+
+
+def test_validator_uses_ema_bn_state():
+    """Mid-train validation must pair EMA params with EMA'd BN stats (ADVICE r1 #1)."""
+    import inspect
+
+    from yololite_tpu.engine import validator as V
+
+    src = inspect.getsource(V.DetectionValidator.__call__)
+    assert "ema.ema_state" in src
+
+
+@pytest.mark.parametrize("name", ["Adamax", "NAdam", "RAdam"])
+def test_optim_exotic_matches_torch(name):
+    """Adamax/NAdam/RAdam match torch.optim trajectories exactly (VERDICT r1 #4)."""
+    import torch
+    import jax.numpy as jnp
+
+    from yololite_tpu.engine import optim
+
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((5, 4)).astype(np.float32)
+    gs = [rng.standard_normal((5, 4)).astype(np.float32) for _ in range(6)]
+
+    tw = torch.nn.Parameter(torch.from_numpy(w.copy()))
+    tcls = {"Adamax": torch.optim.Adamax, "NAdam": torch.optim.NAdam, "RAdam": torch.optim.RAdam}[name]
+    topt = tcls([tw], lr=0.01, betas=(0.9, 0.999), weight_decay=0.0005)
+    for g in gs:
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    params = {"w": jnp.asarray(w)}
+    labels = {"w": optim.GROUP_WEIGHT}
+    st = optim.init_state(params)
+    lr_vec = jnp.asarray([0.01, 0.01, 0.01])
+    update = optim.UPDATES[name]
+    for g in gs:
+        params, st = update(params, {"w": jnp.asarray(g)}, st, labels, lr_vec, 0.9, 0.0005)
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_nadam_mu_product_resume():
+    """nadam_mu_product(t) reproduces the running product after t steps."""
+    import jax.numpy as jnp
+
+    from yololite_tpu.engine import optim
+
+    params = {"w": jnp.ones((2, 2))}
+    labels = {"w": optim.GROUP_WEIGHT}
+    st = optim.init_state(params)
+    g = {"w": jnp.full((2, 2), 0.1)}
+    lr_vec = jnp.asarray([0.01, 0.01, 0.01])
+    for _ in range(7):
+        params, st = optim.nadam_update(params, g, st, labels, lr_vec, 0.9, 0.0)
+    np.testing.assert_allclose(float(st.extra), optim.nadam_mu_product(7, 0.9), rtol=1e-6)

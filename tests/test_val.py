@@ -118,3 +118,35 @@ def test_validator_rect_batching(tmp_path):
                     plots=False, verbose=False, project=str(tmp_path / "runs"))
     rd = metrics.results_dict
     assert 0.0 <= rd["metrics/mAP50-95(B)"] <= 1.0
+
+
+def test_val_save_json_scores_with_vendored_cocoeval(tmp_path):
+    """save_json=True writes predictions.json AND re-scores via the vendored COCOeval
+    (GT synthesized from coco8's own labels since no instances json ships)."""
+    if not reference_available():
+        pytest.skip("reference mount not present")
+    import sys
+
+    sys.path.insert(0, str(REFERENCE))
+    import torch
+    from tests.test_model_parity import _build_reference_model
+
+    tm = _build_reference_model("n")
+    tm.args = {"imgsz": 640}
+    pt = tmp_path / "yolo11n.pt"
+    torch.save({"model": tm, "train_args": {"imgsz": 640}}, str(pt))
+
+    from yololite_tpu import YOLOLite
+
+    m = YOLOLite(str(pt))
+    # random weights + bias_init leave all scores below the 0.001 default conf;
+    # drop the gate so detections exist and the json path is exercised
+    metrics = m.val(data=str(REFERENCE / "coco8" / "coco8.yaml"), imgsz=320, batch=4,
+                    plots=False, verbose=False, save_json=True, conf=1e-6,
+                    project=str(tmp_path / "runs"))
+    rd = metrics.results_dict
+    assert 0.0 <= rd["metrics/mAP50-95(B)"] <= 1.0
+    import glob
+
+    preds = glob.glob(str(tmp_path / "runs" / "**" / "predictions.json"), recursive=True)
+    assert preds, "predictions.json not written"

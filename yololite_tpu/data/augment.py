@@ -208,9 +208,10 @@ class CopyPaste:
         instances.denormalize(w, h)
         ins_flip = deepcopy(instances)
         ins_flip.fliplr(w)
-        from yololite_tpu.ops.boxes import box_iou
+        from yololite_tpu.ops.boxes import bbox_ioa
 
-        ioa = box_iou(ins_flip.bboxes, instances.bboxes)  # (N, N)
+        # intersection over the EXISTING box's area, like reference CopyPaste (augment.py:726)
+        ioa = bbox_ioa(ins_flip.bboxes, instances.bboxes)  # (N, N)
         idx = np.nonzero((ioa < 0.30).all(1))[0]
         n = len(idx)
         sel = random.sample(list(idx), k=round(self.p * n)) if n else []

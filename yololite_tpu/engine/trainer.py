@@ -247,7 +247,7 @@ class DetectionTrainer:
         def apply_step(params, opt_state, grad_sum, ema_params, ema_state, state, lr_vec, momentum, ema_updates):
             grads, gnorm = optim.clip_by_global_norm(grad_sum, 10.0)
             params, opt_state = update_fn(params, grads, opt_state, self.labels_tree, lr_vec, momentum,
-                                          weight_decay)
+                                          weight_decay, trainable=freeze_mask)
             ema_params = ema_update(ema_params, params, ema_updates)
             ema_state = ema_update(ema_state, state, ema_updates)
             zero = jax.tree.map(jnp.zeros_like, grads)
@@ -476,6 +476,10 @@ class DetectionTrainer:
             step=jnp.asarray(self.ema.updates, jnp.int32),
             mu=conform_tree(pt, state["opt"]["mu"]),
             nu=conform_tree(pt, state["opt"]["nu"]),
+            extra=jnp.asarray(
+                optim.nadam_mu_product(self.ema.updates, self.momentum)
+                if self.opt_name == "NAdam" else 1.0, jnp.float32,
+            ),
         )
         self.best_fitness = meta.get("best_fitness")
         self.start_epoch = int(meta.get("epoch", -1)) + 1

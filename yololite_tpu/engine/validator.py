@@ -1,10 +1,10 @@
 """Detection validator: batched device inference + host mAP accounting.
 
 Counterpart of reference engine/validator.py:22-522. TPU-first differences:
-val batches are square letterboxed (single compiled shape) instead of rect
-buckets, the forward+decode+NMS is one jitted graph, and per-image TP matching
-runs vectorized numpy on host (greedy IoU-sorted unique matching at 10 IoU
-thresholds, validator.py:195-233).
+val batches use rect bucketing by aspect ratio (a handful of compiled shapes)
+with stride-aligned padding, the forward+decode+NMS is one jitted graph, and
+per-image TP matching runs vectorized numpy on host (greedy IoU-sorted unique
+matching at 10 IoU thresholds, validator.py:195-233).
 """
 
 from __future__ import annotations
@@ -62,7 +62,7 @@ class DetectionValidator:
             boxes, scores = decode_detections(feats, strides, nc, reg_max, xywh=False)
             return non_max_suppression(
                 boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det,
-                max_cand=2048, multi_label=True, agnostic=bool(self.args.single_cls),
+                max_cand=8192, multi_label=True, agnostic=bool(self.args.single_cls),
             )
 
         return _infer
@@ -73,8 +73,10 @@ class DetectionValidator:
         """Validate `model` (DetectionModel + pytrees) or a trainer's EMA weights."""
         if trainer is not None:
             model = trainer.model
+            # Validate the EMA weights WITH their EMA'd BN statistics (the reference
+            # validates the full EMA model, engine/trainer.py:295-298).
             params = trainer.ema.ema_params if trainer.ema else trainer.params
-            state = trainer.state
+            state = trainer.ema.ema_state if trainer.ema else trainer.state
             self.args.batch = trainer.args.batch
             self.data = trainer.data
             self.args.plots &= trainer.stop_training or (trainer.epoch == trainer.epochs - 1)
@@ -82,6 +84,10 @@ class DetectionValidator:
             self.data = check_det_dataset(self.args.data)
         self.names = self.data.get("names", model.names)
         self.nc = len(self.names)
+        # COCO detection: map class indices to 1-based category ids (reference validator.py:292-303)
+        val_path = str(self.data.get(self.args.split, ""))
+        self.is_coco = "coco" in val_path and val_path.endswith(("val2017.txt", "test-dev2017.txt"))
+        self.class_map = list(range(1, 91)) if self.is_coco else list(range(self.nc))
         model.names = self.names
         self.metrics.names = self.names
         self.confusion_matrix = ConfusionMatrix(nc=self.nc, conf=self.args.conf)
@@ -135,7 +141,39 @@ class DetectionValidator:
             self.save_dir.mkdir(parents=True, exist_ok=True)
             with open(self.save_dir / "predictions.json", "w") as f:
                 json.dump(self.jdict, f)
+            stats = self.eval_json(stats)
         self.metrics.speed = self.speed
+        return stats
+
+    def eval_json(self, stats: Dict) -> Dict:
+        """Re-score exported predictions with COCO semantics (reference validator.py:483-522).
+
+        Uses the vendored numpy COCOeval instead of pycocotools. If the dataset ships
+        an annotations/instances_*.json it is used; otherwise (e.g. coco8) a COCO GT
+        dict is synthesized from the dataset's own labels so scoring still works.
+        """
+        from yololite_tpu.utils.cocoeval import COCOEval, gt_from_yolo_labels
+
+        try:
+            ds = self.dataloader.dataset
+            anno_json = Path(self.data.get("path", ".")) / "annotations" / "instances_val2017.json"
+            if self.is_coco and anno_json.is_file():
+                with open(anno_json) as f:
+                    gt = json.load(f)
+            else:
+                gt = gt_from_yolo_labels(ds.labels, ds.im_files, self.class_map)
+            img_ids = [
+                int(Path(x).stem) if Path(x).stem.isnumeric() else Path(x).stem for x in ds.im_files
+            ]
+            ev = COCOEval(gt, self.jdict, img_ids=img_ids)
+            coco_stats = ev.summarize()
+            LOGGER.info(
+                f"COCO eval (vendored): mAP50-95={coco_stats[0]:.4f} mAP50={coco_stats[1]:.4f} "
+                f"mAP75={coco_stats[2]:.4f}"
+            )
+            stats[self.metrics.keys[-1]], stats[self.metrics.keys[-2]] = coco_stats[0], coco_stats[1]
+        except Exception as e:
+            LOGGER.warning(f"COCO eval could not run: {e}")
         return stats
 
     # ---- per-batch metric update ----
@@ -246,7 +284,7 @@ class DetectionValidator:
             self.jdict.append(
                 {
                     "image_id": image_id,
-                    "category_id": int(p[5]),
+                    "category_id": self.class_map[int(p[5])],
                     "bbox": [round(x, 3) for x in b],
                     "score": round(p[4], 5),
                 }

@@ -124,6 +124,15 @@ class Row:
         self.args = args
 
 
+def _check_stride(sp, layer_idx: int) -> int:
+    """Validate a Detect input's cumulative downscale: positive integer power of two."""
+    s = int(sp)
+    if s != sp or s <= 0 or (s & (s - 1)) != 0:
+        raise ValueError(f"invalid Detect stride {sp!r} inferred for layer {layer_idx}; "
+                         "a module in the chain is missing a `downsample` declaration")
+    return s
+
+
 def parse_spec(d: Dict, ch_in: int = 3, verbose: bool = False) -> Tuple[List[Row], List[int], int, List[int]]:
     """Resolve a model dict into rows, save-list, nc, and detect strides.
 
@@ -170,21 +179,20 @@ def parse_spec(d: Dict, ch_in: int = 3, verbose: bool = False) -> Tuple[List[Row
                 else:
                     margs.append(True)
             mod = cls(*margs)
-            sp = spatial[prev] * (mod.s if isinstance(mod, M.Conv) else 1)
+            sp = None  # resolved below from mod.downsample (after any Seq wrap)
         elif kind == "plain":
+            mod = cls(*args)
             if name == "Concat":
                 c2 = sum(ch[x] for x in f)
                 sp = spatial[f[0]]
             else:  # Upsample
                 c2 = ch[prev]
-                mod_tmp = cls(*args)
-                sp = spatial[prev] // mod_tmp.scale
-            mod = cls(*args)
+                sp = spatial[prev] * mod.downsample
             margs = args
         elif kind == "detect":
             in_ch = [ch[x] for x in f]
             mod = cls(nc, in_ch)
-            mod.stride = [spatial[x] for x in f]
+            mod.stride = [_check_stride(spatial[x], x) for x in f]
             detect_strides = mod.stride
             c2 = 0
             sp = 0
@@ -193,7 +201,7 @@ def parse_spec(d: Dict, ch_in: int = 3, verbose: bool = False) -> Tuple[List[Row
             c2 = ch[prev]
             margs = [c2, *args]
             mod = cls(*margs)
-            sp = spatial[prev]
+            sp = None
         elif kind == "hg":  # HGStem / HGBlock: (c1, cm, c2, ...)
             c1, cm, c2 = ch[prev], args[0], args[1]
             margs = [c1, cm, c2, *args[2:]]
@@ -201,7 +209,7 @@ def parse_spec(d: Dict, ch_in: int = 3, verbose: bool = False) -> Tuple[List[Row
                 margs.insert(4, n_scaled)  # repeats after k
                 n_scaled = 1
             mod = cls(*margs)
-            sp = spatial[prev] * (4 if name == "HGStem" else 1)
+            sp = None
         elif kind == "resnet":  # yaml args are the full (c1, c2, s, is_first, n) signature
             margs = list(args)
             is_first = margs[3] if len(margs) > 3 else False
@@ -228,6 +236,8 @@ def parse_spec(d: Dict, ch_in: int = 3, verbose: bool = False) -> Tuple[List[Row
 
         if n_scaled > 1:
             mod = M.Seq(*[cls(*margs) for _ in range(n_scaled)])
+        if sp is None:  # generic: every module declares its spatial reduction factor
+            sp = spatial[prev] * getattr(mod, "downsample", 1)
 
         rows.append(Row(i, f, mod, name, margs))
         save.extend(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)

@@ -101,7 +101,15 @@ def batchnorm(params, state, x, ctx: Ctx, path):
 
 
 class Module:
-    """Base: subclasses define init(key)->(params, state) and __call__(p, s, x, ctx, path)."""
+    """Base: subclasses define init(key)->(params, state) and __call__(p, s, x, ctx, path).
+
+    `downsample` is the module's spatial reduction factor (output = input / downsample),
+    consumed by parse_spec to derive Detect strides statically (the reference instead
+    probes with a dummy forward, nn/tasks.py:256-267). Modules that change spatial
+    size must set it; <1 means upsampling.
+    """
+
+    downsample = 1
 
     def init(self, key):
         raise NotImplementedError
@@ -120,6 +128,7 @@ class Conv(Module):
         self.kh, self.kw = (k, k) if isinstance(k, int) else tuple(k)
         self.p = autopad(k, p, d)
         self.act = act  # True -> SiLU, 'relu' -> ReLU, False -> identity
+        self.downsample = s if isinstance(s, int) else int(s[0])
 
     def init(self, key):
         fan_in = self.c1 // self.g * self.kh * self.kw
@@ -217,6 +226,10 @@ class Seq(Module):
 
     def __init__(self, *mods):
         self.mods = list(mods)
+        ds = 1
+        for m in self.mods:
+            ds *= getattr(m, "downsample", 1)
+        self.downsample = ds
 
     def init(self, key):
         params, state = {}, {}
@@ -447,6 +460,7 @@ class Upsample(Module):
     def __init__(self, size=None, scale_factor=2, mode="nearest"):
         assert mode == "nearest", "only nearest upsampling is used by YOLO11"
         self.scale = int(scale_factor)
+        self.downsample = 1 / self.scale
 
     def init(self, key):
         return {}, {}

@@ -58,6 +58,7 @@ def _avgpool2(x):
 class MaxPool(Module):
     def __init__(self, k, s=1, p=0, ceil=False):
         self.k, self.s, self.p, self.ceil = k, s, p, ceil
+        self.downsample = s
 
     def init(self, key):
         return {}, {}
@@ -79,6 +80,7 @@ class Focus(_Composite):
 
     def __init__(self, c1, c2, k=1, s=1, p=None, g=1, act=True):
         self.sub = {"conv": Conv(c1 * 4, c2, k, s, p, g, act=act)}
+        self.downsample = 2 * s
 
     def __call__(self, params, state, x, ctx, path=()):
         a = x[:, ::2, ::2]
@@ -94,6 +96,7 @@ class GhostConv(_Composite):
     def __init__(self, c1, c2, k=1, s=1, g=1, act=True):
         c_ = c2 // 2
         self.sub = {"cv1": Conv(c1, c_, k, s, None, g, act=act), "cv2": Conv(c_, c_, 5, 1, None, c_, act=act)}
+        self.downsample = s
 
     def __call__(self, params, state, x, ctx, path=()):
         y = self._apply("cv1", params, state, x, ctx, path)
@@ -106,6 +109,7 @@ class GhostBottleneck(_Composite):
     def __init__(self, c1, c2, k=3, s=1):
         c_ = c2 // 2
         self.s = s
+        self.downsample = s
         conv = [GhostConv(c1, c_, 1, 1)]
         if s == 2:
             conv.append(DWConv(c_, c_, k, s, act=False))
@@ -151,6 +155,7 @@ class ConvTranspose2d(Module):
     def __init__(self, c1, c2, k=2, s=2, p=0, bias=True):
         self.c1, self.c2, self.k, self.s, self.p = c1, c2, k, s, p
         self.has_bias = bias
+        self.downsample = 1 / s
 
     def init(self, key):
         from yololite_tpu.models.modules import _kaiming_uniform
@@ -174,6 +179,7 @@ class ConvTranspose(_Composite):
         self.act = act
         self.c2 = c2
         self.sub = {"conv_transpose": ConvTranspose2d(c1, c2, k, s, p, bias=not bn)}
+        self.downsample = 1 / s
 
     def init(self, key):
         params, state = _Composite.init(self, key)
@@ -242,6 +248,7 @@ class RepConv(_Composite):
             "conv1": Conv(c1, c2, k, s, p=p, g=g, act=False),
             "conv2": Conv(c1, c2, 1, s, p=(p - k // 2), g=g, act=False),
         }
+        self.downsample = s
 
     def init(self, key):
         params, state = _Composite.init(self, key)
@@ -407,6 +414,7 @@ class HGStem(_Composite):
     """PPHGNetV2 stem (reference block.py:93-122)."""
 
     def __init__(self, c1, cm, c2):
+        self.downsample = 4
         self.sub = {
             "stem1": Conv(c1, cm, 3, 2, act="relu"),
             "stem2a": Conv(cm, cm // 2, 2, 1, 0, act="relu"),
@@ -550,6 +558,7 @@ class AConv(_Composite):
 
     def __init__(self, c1, c2):
         self.sub = {"cv1": Conv(c1, c2, 3, 2, 1)}
+        self.downsample = 2
 
     def __call__(self, params, state, x, ctx, path=()):
         return self._apply("cv1", params, state, _avgpool2(x), ctx, path)
@@ -562,6 +571,7 @@ class ADown(_Composite):
         self.c = c2 // 2
         self.c1h = c1 // 2
         self.sub = {"cv1": Conv(c1 // 2, self.c, 3, 2, 1), "cv2": Conv(c1 // 2, self.c, 1, 1, 0)}
+        self.downsample = 2
 
     def __call__(self, params, state, x, ctx, path=()):
         x = _avgpool2(x)
@@ -690,6 +700,7 @@ class SCDown(_Composite):
 
     def __init__(self, c1, c2, k, s):
         self.sub = {"cv1": Conv(c1, c2, 1, 1), "cv2": Conv(c2, c2, k=k, s=s, g=c2, act=False)}
+        self.downsample = s
 
     def __call__(self, params, state, x, ctx, path=()):
         return self._apply("cv2", params, state, self._apply("cv1", params, state, x, ctx, path), ctx, path)

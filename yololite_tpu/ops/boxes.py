@@ -123,6 +123,18 @@ def box_iou(box1, box2, eps=1e-7):
     return inter / (area1 + area2 - inter + eps)
 
 
+def bbox_ioa(box1, box2, iou=False, eps=1e-7):
+    """Intersection over box2's area, xyxy (N,4) x (M,4) -> (N,M) (reference metrics.py:9-48)."""
+    lib = jnp if isinstance(box1, jnp.ndarray) or isinstance(box2, jnp.ndarray) else np
+    a1, a2 = box1[..., None, :2], box1[..., None, 2:4]  # (N,1,2)
+    b1, b2 = box2[None, :, :2], box2[None, :, 2:4]  # (1,M,2)
+    inter = (lib.minimum(a2, b2) - lib.maximum(a1, b1)).clip(0).prod(-1)
+    area = (b2 - b1).prod(-1)
+    if iou:
+        area = area + (a2 - a1).prod(-1) - inter
+    return inter / (area + eps)
+
+
 def bbox_iou(box1, box2, xywh=True, GIoU=False, DIoU=False, CIoU=False, eps=1e-7):
     """Elementwise IoU / CIoU of broadcastable box arrays (reference metrics.py:73-135).
 

@@ -16,7 +16,10 @@ import numpy as np
 
 from yololite_tpu.ops.boxes import bbox2dist, bbox_iou, dist2bbox, make_anchors, xywh2xyxy
 from yololite_tpu.ops.decode import flatten_levels
+from yololite_tpu.utils import LOGGER
 from yololite_tpu.utils.tal import TaskAlignedAssigner
+
+_TRUNC_WARNED = False  # warn once per process on GT truncation
 
 
 def build_targets(batch: Dict, batch_size: int, imgsz: Tuple[int, int], max_gt: int) -> Dict[str, np.ndarray]:
@@ -31,6 +34,16 @@ def build_targets(batch: Dict, batch_size: int, imgsz: Tuple[int, int], max_gt: 
     gt_labels = np.zeros((batch_size, max_gt, 1), np.int32)
     gt_bboxes = np.zeros((batch_size, max_gt, 4), np.float32)
     mask_gt = np.zeros((batch_size, max_gt, 1), np.float32)
+    counts = np.bincount(bi, minlength=batch_size) if len(bi) else np.zeros(batch_size, int)
+    if counts.max(initial=0) > max_gt:
+        global _TRUNC_WARNED
+        if not _TRUNC_WARNED:
+            _TRUNC_WARNED = True
+            LOGGER.warning(
+                f"build_targets: an image carries {int(counts.max())} GT boxes, exceeding the "
+                f"static max_gt={max_gt} cap; overflow boxes are dropped for this batch "
+                "(dense mosaics can exceed the dataset-derived headroom)."
+            )
     for b in range(batch_size):
         sel = np.nonzero(bi == b)[0][:max_gt]
         n = len(sel)
