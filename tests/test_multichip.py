@@ -73,3 +73,52 @@ def test_dataparallel_grads_match_single_device():
     l1, l8 = jax.tree.leaves(g1), jax.tree.leaves(g8)
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
+
+
+def test_sharded_inference_matches_single_device():
+    """Predictor-style batch-sharded forward+NMS == single-device detections."""
+    from yololite_tpu.models.model import DetectionModel
+    from yololite_tpu.models.modules import fuse_tree
+    from yololite_tpu.ops.decode import decode_detections
+    from yololite_tpu.ops.nms import non_max_suppression
+    from yololite_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+
+    model = DetectionModel("yolo11n.yaml")
+    params, state = model.init(0)
+    params, state = fuse_tree(params, state)
+
+    @jax.jit
+    def infer(p, s, images):
+        feats = model.apply(p, s, images, train=False)
+        feats = [f.astype(jnp.float32) for f in feats]
+        boxes, scores = decode_detections(feats, model.strides, model.nc, model.reg_max, xywh=False)
+        return non_max_suppression(boxes, scores, conf_thres=1e-5, iou_thres=0.7, max_det=50, max_cand=128)
+
+    rng = np.random.default_rng(0)
+    images = rng.random((8, 64, 64, 3)).astype(np.float32)
+
+    single = np.asarray(infer(jax.device_put(params), jax.device_put(state), jnp.asarray(images)))
+
+    mesh = make_mesh(8)
+    p_d = replicate_tree(mesh, params)
+    s_d = replicate_tree(mesh, state)
+    im_d = shard_batch(mesh, jnp.asarray(images))
+    sharded = np.asarray(infer(p_d, s_d, im_d))
+
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)
+
+
+def test_predictor_shards_on_virtual_mesh(tmp_path):
+    """End-to-end predict on the 8-device CPU mesh: params replicated, batch sharded."""
+    from yololite_tpu.engine.predictor import DetectionPredictor
+    from yololite_tpu.models.model import DetectionModel
+
+    model = DetectionModel("yolo11n.yaml")
+    params, state = model.init(0)
+    pred = DetectionPredictor(overrides=dict(imgsz=64, batch=8, conf=1e-5, save=False, verbose=False,
+                                             project=str(tmp_path)))
+    pred.setup_model(model, params, state, half=False)
+    assert pred.mesh is not None and pred.mesh.devices.size == 8
+    imgs = [np.random.default_rng(i).integers(0, 255, (64, 64, 3), np.uint8) for i in range(8)]
+    results = pred(imgs)
+    assert len(results) == 8

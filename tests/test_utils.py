@@ -131,3 +131,83 @@ def test_profile_timer():
     with p:
         time.sleep(0.02)
     assert p.t >= 0.03
+
+
+def test_save_one_box_semantics(tmp_path):
+    """gain=1.02, pad=10, square, clipping match the reference formula."""
+    import numpy as np
+
+    from yololite_tpu.utils.plotting import save_one_box
+
+    im = np.arange(200 * 200 * 3, dtype=np.uint8).reshape(200, 200, 3)
+    crop = save_one_box(np.array([50.0, 60.0, 90.0, 80.0]), im.copy(), save=False, BGR=True)
+    # xywh = (70, 70, 40, 20); wh*1.02+10 = (50.8, 30.4) -> xyxy (44.6,54.8,95.4,85.2) -> long
+    assert crop.shape == (31, 51, 3)  # y: 54..85, x: 44..95
+    sq = save_one_box(np.array([50.0, 60.0, 90.0, 80.0]), im.copy(), square=True, save=False, BGR=True)
+    assert sq.shape[0] == sq.shape[1]  # square crop
+    f = tmp_path / "crops" / "thing.jpg"
+    save_one_box(np.array([50.0, 60.0, 90.0, 80.0]), im.copy(), file=f, BGR=True)
+    assert f.exists()
+
+
+def test_plot_tune_results(tmp_path):
+    import numpy as np
+
+    from yololite_tpu.utils.plotting import plot_tune_results
+
+    rng = np.random.default_rng(0)
+    csv = tmp_path / "tune_results.csv"
+    rows = ["fitness,lr0,momentum"]
+    for _ in range(20):
+        rows.append(",".join(f"{v:.5f}" for v in rng.random(3)))
+    csv.write_text("\n".join(rows))
+    plot_tune_results(str(csv))
+    assert (tmp_path / "tune_scatter_plots.png").exists()
+    assert (tmp_path / "tune_fitness.png").exists()
+
+
+def test_output_to_target():
+    import numpy as np
+
+    from yololite_tpu.utils.plotting import output_to_target
+
+    dets = np.zeros((2, 5, 6), np.float32)
+    dets[0, 0] = [10, 20, 30, 40, 0.9, 2]
+    dets[1, 0] = [0, 0, 10, 10, 0.8, 1]
+    dets[1, 1] = [5, 5, 15, 15, 0.7, 0]
+    bi, cls, boxes, conf = output_to_target(dets)
+    assert list(bi) == [0, 1, 1]
+    assert list(cls) == [2, 1, 0]
+    np.testing.assert_allclose(boxes[0], [20, 30, 20, 20])
+    np.testing.assert_allclose(conf, [0.9, 0.8, 0.7])
+
+
+def test_box_converters_roundtrip():
+    import numpy as np
+
+    from yololite_tpu.ops.boxes import ltwh2xywh, ltwh2xyxy, xywh2ltwh, xyxy2ltwh
+
+    x = np.array([[10.0, 20.0, 4.0, 8.0]])
+    np.testing.assert_allclose(ltwh2xywh(xywh2ltwh(x)), x)
+    xy = np.array([[1.0, 2.0, 5.0, 10.0]])
+    np.testing.assert_allclose(ltwh2xyxy(xyxy2ltwh(xy)), xy)
+
+
+def test_clean_str():
+    from yololite_tpu.utils.misc import clean_str
+
+    assert clean_str("a|b@c#d") == "a_b_c_d"
+
+
+def test_results_to_xml():
+    import numpy as np
+
+    from yololite_tpu.engine.results import Results
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    r = Results(img, path="x.jpg", names={0: "person"},
+                boxes=np.array([[1.0, 2.0, 10.0, 12.0, 0.9, 0]]))
+    xml = r.to_xml()
+    assert "person" in xml and xml.startswith("<?xml")
+    empty = Results(img, path="x.jpg", names={0: "person"}, boxes=np.zeros((0, 6)))
+    assert "<root></root>" in empty.to_xml()

@@ -84,7 +84,7 @@ class YOLOLite:
     def predict(self, source=None, stream: bool = False, predictor=None, **kwargs):
         if source is None:
             raise ValueError("predict() requires a source (path, list, or array)")
-        custom = {"conf": 0.25, "batch": 1, "save": False, "mode": "predict"}
+        custom = {"conf": 0.25, "batch": 1, "save": True, "mode": "predict"}  # reference model.py:95
         args = {**self.overrides, **custom, **kwargs}
         from yololite_tpu.engine.predictor import DetectionPredictor
 

@@ -44,6 +44,7 @@ class DetectionPredictor:
         self.model = None  # DetectionModel
         self.params = None
         self.state = None
+        self.mesh = None
         self.dataset = None
         self.results = None
         self.seen = 0
@@ -66,8 +67,13 @@ class DetectionPredictor:
         if half:
             cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
             params, state = cast(params), cast(state)
-        self.params = jax.device_put(params)
-        self.state = jax.device_put(state)
+        # multi-chip: replicate weights over a data mesh and batch-shard inputs
+        # (the trainer auto-shards the same way, trainer.py; VERDICT r1 #8)
+        from yololite_tpu.parallel.mesh import make_mesh, replicate_tree
+
+        self.mesh = make_mesh() if len(jax.devices()) > 1 else None
+        self.params = replicate_tree(self.mesh, params)
+        self.state = replicate_tree(self.mesh, state)
 
         nc, strides, reg_max = model.nc, model.strides, model.reg_max
         conf, iou = float(self.args.conf), float(self.args.iou)
@@ -142,9 +148,17 @@ class DetectionPredictor:
             source, batch=self.args.batch, vid_stride=self.args.vid_stride, buffer=self.args.stream_buffer
         )
 
+    def _put(self, arr):
+        """Host batch -> device(s): batch-sharded over the mesh when divisible."""
+        from yololite_tpu.parallel.mesh import mesh_size, shard_batch
+
+        if self.mesh is not None and arr.shape[0] % mesh_size(self.mesh) == 0:
+            return shard_batch(self.mesh, jnp.asarray(arr))
+        return jnp.asarray(arr)
+
     def warmup(self, batch: int):
-        imgs = jnp.zeros((batch, self.imgsz[0], self.imgsz[1], 3), jnp.float32)
-        jax.block_until_ready(self._infer(self.params, self.state, imgs))
+        imgs = np.zeros((batch, self.imgsz[0], self.imgsz[1], 3), np.float32)
+        jax.block_until_ready(self._infer(self.params, self.state, self._put(imgs)))
         self.done_warmup = True
 
     # ---- inference ----
@@ -184,9 +198,9 @@ class DetectionPredictor:
                         input_hw = im.shape[1:3]
                 with profilers[1]:
                     if same_shape:
-                        dets = self._infer_device_preproc(self.params, self.state, jnp.asarray(raw), self.imgsz[0])
+                        dets = self._infer_device_preproc(self.params, self.state, self._put(raw), self.imgsz[0])
                     else:
-                        dets = self._infer(self.params, self.state, jnp.asarray(im))
+                        dets = self._infer(self.params, self.state, self._put(im))
                     dets = np.asarray(jax.block_until_ready(dets))
                 with profilers[2]:
                     results = self.postprocess(dets[:n], input_hw, im0s, paths)

@@ -157,17 +157,18 @@ class Results:
                 f.write("\n".join(lines) + "\n")
 
     def save_crop(self, save_dir, file_name=Path("im.jpg")):
-        """Save cropped detection regions to save_dir/<class-name>/."""
-        import cv2
+        """Save cropped detections to save_dir/<class-name>/ with the reference's
+        save_one_box semantics (gain=1.02, pad=10, clip; results.py:289-312)."""
+        from yololite_tpu.utils.plotting import save_one_box
 
         for row in self.boxes.data:
             c = int(row[5])
-            x1, y1, x2, y2 = (int(v) for v in row[:4])
-            d = Path(save_dir) / self.names.get(c, str(c))
-            d.mkdir(parents=True, exist_ok=True)
-            crop = self.orig_img[max(y1, 0) : y2, max(x1, 0) : x2]
-            if crop.size:
-                cv2.imwrite(str(d / f"{Path(file_name).stem}.jpg"), crop)
+            save_one_box(
+                row[:4],
+                self.orig_img.copy(),
+                file=Path(save_dir) / self.names.get(c, str(c)) / Path(file_name).with_suffix(".jpg"),
+                BGR=True,
+            )
 
     def summary(self, normalize=False, decimals=5) -> List[Dict]:
         """List-of-dicts summary (one entry per detection)."""
@@ -191,11 +192,18 @@ class Results:
     def to_json(self, normalize=False, decimals=5) -> str:
         return json.dumps(self.summary(normalize, decimals), indent=2)
 
-    def to_df(self):
+    def to_df(self, normalize=False, decimals=5):
         """Summary as a pandas DataFrame (pandas is an optional dependency)."""
         import pandas as pd  # noqa: deferred
 
-        return pd.DataFrame(self.summary())
+        return pd.DataFrame(self.summary(normalize, decimals))
+
+    def to_xml(self, normalize=False, decimals=5, *args, **kwargs) -> str:
+        """Detections as an XML string via pandas.DataFrame.to_xml (reference results.py:397-421)."""
+        df = self.to_df(normalize, decimals)
+        if len(df) == 0:
+            return '<?xml version="1.0" encoding="utf-8"?>\n<root></root>'
+        return df.to_xml(*args, **kwargs)
 
     def to_csv(self) -> str:
         rows = self.summary()

@@ -220,7 +220,8 @@ class DetectionTrainer:
                 ctx = M.Ctx(train=True)
                 x = images.astype(jnp.bfloat16) if half else images
                 feats = model.apply(p, state, x, train=True, ctx=ctx)
-                feats = [f.astype(jnp.float32) for f in feats]
+                # feats stay bf16 on the amp path; the loss upcasts to fp32 at its
+                # softmax/BCE/accumulation boundaries (fused, no fp32 materialization)
                 total, items = loss_fn(feats, {"gt_labels": gt_labels, "gt_bboxes": gt_bboxes, "mask_gt": mask_gt})
                 return total, (items, ctx.updates)
 
@@ -314,7 +315,15 @@ class DetectionTrainer:
 
                 batch = self.preprocess_batch(batch)
                 images = shard_batch(self.mesh, batch["img"])
-                targets = build_targets(batch, batch["img"].shape[0], batch["img"].shape[1:3], self.max_gt)
+                # bucket the static GT pad to this batch's actual max count (next pow2,
+                # >=16): TAL's dense (B,M,A) grids scale with M, so sparse batches run
+                # far cheaper than the dataset-wide max_gt; jit caches per bucket
+                counts = np.bincount(
+                    np.asarray(batch["batch_idx"]).astype(int), minlength=batch["img"].shape[0]
+                )
+                need = max(16, int(counts.max(initial=16)))
+                m_bucket = min(self.max_gt, 1 << (need - 1).bit_length())
+                targets = build_targets(batch, batch["img"].shape[0], batch["img"].shape[1:3], m_bucket)
                 targets = shard_batch(self.mesh, targets)
 
                 grad_sum, self.state, total, items = self._grad_step(

@@ -105,8 +105,19 @@ class DetectionValidator:
             from yololite_tpu.models.modules import fuse_tree
 
             params, state = fuse_tree(params, state)
-        params = jax.device_put(params)
-        state = jax.device_put(state)
+        # multi-chip: replicate weights, batch-shard each val batch (VERDICT r1 #8)
+        from yololite_tpu.parallel.mesh import make_mesh, mesh_size, replicate_tree, shard_batch
+
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
+        params = replicate_tree(mesh, params)
+        state = replicate_tree(mesh, state)
+
+        def _put(arr):
+            if mesh is not None and arr.shape[0] % mesh_size(mesh) == 0:
+                return shard_batch(mesh, jnp.asarray(arr))
+            return jnp.asarray(arr)
+
+        self._put = _put
 
         self.seen = 0
         self.stats = {"tp": [], "conf": [], "pred_cls": [], "target_cls": [], "target_img": []}
@@ -122,7 +133,7 @@ class DetectionValidator:
                 if n < batch_size:
                     im = np.concatenate([im, np.zeros((batch_size - n, *im.shape[1:]), im.dtype)])
             with profilers[1]:
-                dets = np.asarray(jax.block_until_ready(self._infer(params, state, jnp.asarray(im))))[:n]
+                dets = np.asarray(jax.block_until_ready(self._infer(params, state, self._put(im))))[:n]
             with profilers[2]:
                 self.update_metrics(dets, batch)
 

@@ -81,13 +81,20 @@ def conv2d(x, w, stride=1, padding=0, groups=1, dilation=1):
 def batchnorm(params, state, x, ctx: Ctx, path):
     """BatchNorm2d over NHWC with torch semantics (running stats, unbiased var).
 
-    Statistics always compute in fp32 (torch autocast keeps BN fp32); the
-    normalized output returns in the activation dtype.
+    Statistics always accumulate in fp32 (torch autocast keeps BN fp32). With
+    fp32 activations the normalization matches torch bit-for-bit. With bf16
+    activations the per-channel affine constants are folded to bf16 and the
+    normalize runs in the activation dtype: the (B,H,W,C) tensor is never
+    materialized in fp32, halving BN's HBM traffic on the amp path (the fp32
+    reduction fuses into the bf16 read).
     """
-    x32 = x.astype(jnp.float32)
     if ctx.train:
-        mean = jnp.mean(x32, axis=(0, 1, 2))
-        var = jnp.var(x32, axis=(0, 1, 2))
+        if x.dtype == jnp.float32:
+            mean = jnp.mean(x, axis=(0, 1, 2))
+            var = jnp.var(x, axis=(0, 1, 2))  # two-pass: torch-exact on the fp32 path
+        else:
+            mean = jnp.mean(x, axis=(0, 1, 2), dtype=jnp.float32)
+            var = jnp.mean(x.astype(jnp.float32) ** 2, axis=(0, 1, 2)) - mean**2
         n = x.shape[0] * x.shape[1] * x.shape[2]
         unbiased = var * (n / max(n - 1, 1))
         ctx.updates[path] = {
@@ -97,7 +104,10 @@ def batchnorm(params, state, x, ctx: Ctx, path):
     else:
         mean, var = state["mean"].astype(jnp.float32), state["var"].astype(jnp.float32)
     inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"].astype(jnp.float32)
-    return (x32 * inv + (params["bias"].astype(jnp.float32) - mean * inv)).astype(x.dtype)
+    bias = params["bias"].astype(jnp.float32) - mean * inv
+    if x.dtype == jnp.float32:
+        return x * inv + bias
+    return x * inv.astype(x.dtype) + bias.astype(x.dtype)
 
 
 class Module:

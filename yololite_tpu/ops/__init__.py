@@ -4,11 +4,15 @@ from yololite_tpu.ops.boxes import (
     bbox2dist,
     bbox_iou,
     box_iou,
+    bbox_ioa,
     clip_boxes_np,
+    clip_coords,
     dist2bbox,
+    ltwh2xywh,
     ltwh2xyxy,
     make_anchors,
     scale_boxes_np,
+    xywh2ltwh,
     xywh2xyxy,
     xywhn2xyxy,
     xyxy2ltwh,

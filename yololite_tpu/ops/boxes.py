@@ -56,22 +56,6 @@ def xyxy2xywhn(x, w=640, h=640, clip=False, eps=0.0):
     return y
 
 
-def ltwh2xyxy(x):
-    """(left, top, w, h) -> (x1, y1, x2, y2) (numpy)."""
-    y = np.copy(x)
-    y[..., 2] = x[..., 0] + x[..., 2]
-    y[..., 3] = x[..., 1] + x[..., 3]
-    return y
-
-
-def xyxy2ltwh(x):
-    """(x1, y1, x2, y2) -> (left, top, w, h) (numpy)."""
-    y = np.copy(x)
-    y[..., 2] = x[..., 2] - x[..., 0]
-    y[..., 3] = x[..., 3] - x[..., 1]
-    return y
-
-
 # ---- clipping / rescaling (host path) ----
 
 
@@ -107,6 +91,37 @@ def scale_boxes_np(img1_shape, boxes, img0_shape, ratio_pad=None, padding=True, 
             boxes[..., 3] -= pad[1]
     boxes[..., :4] /= gain
     return clip_boxes_np(boxes, img0_shape)
+
+
+def xywh2ltwh(x):
+    """[cx, cy, w, h] -> [x1, y1, w, h] (reference ops.py:392-405)."""
+    lib = jnp if isinstance(x, jnp.ndarray) else np
+    return lib.concatenate([x[..., :2] - x[..., 2:4] / 2, x[..., 2:4]], axis=-1)
+
+
+def xyxy2ltwh(x):
+    """[x1, y1, x2, y2] -> [x1, y1, w, h] (reference ops.py:408-421)."""
+    lib = jnp if isinstance(x, jnp.ndarray) else np
+    return lib.concatenate([x[..., :2], x[..., 2:4] - x[..., :2]], axis=-1)
+
+
+def ltwh2xywh(x):
+    """[x1, y1, w, h] -> [cx, cy, w, h] (reference ops.py:424-437)."""
+    lib = jnp if isinstance(x, jnp.ndarray) else np
+    return lib.concatenate([x[..., :2] + x[..., 2:4] / 2, x[..., 2:4]], axis=-1)
+
+
+def ltwh2xyxy(x):
+    """[x1, y1, w, h] -> [x1, y1, x2, y2]."""
+    lib = jnp if isinstance(x, jnp.ndarray) else np
+    return lib.concatenate([x[..., :2], x[..., :2] + x[..., 2:4]], axis=-1)
+
+
+def clip_coords(coords, shape):
+    """Clip point coordinates to image bounds (h, w) in place (reference ops.py:298-315)."""
+    coords[..., 0] = coords[..., 0].clip(0, shape[1])
+    coords[..., 1] = coords[..., 1].clip(0, shape[0])
+    return coords
 
 
 # ---- IoU ----

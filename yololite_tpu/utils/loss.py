@@ -71,12 +71,19 @@ class v8DetectionLoss:
         self.assigner = TaskAlignedAssigner(topk=tal_topk, num_classes=nc, alpha=0.5, beta=6.0)
 
     def bbox_decode(self, anchor_points: jnp.ndarray, pred_dist: jnp.ndarray) -> jnp.ndarray:
-        """DFL expectation -> xyxy boxes in anchor (stride) units."""
+        """DFL expectation -> xyxy boxes in anchor (stride) units.
+
+        Softmax runs in fp32 regardless of the input dtype (torch autocast lists
+        softmax as an fp32 op); with bf16 inputs the upcast fuses into the read,
+        so the (B,A,4,reg_max) tensor never materializes in fp32.
+        """
         if self.use_dfl:
             b, a, c = pred_dist.shape
-            x = pred_dist.reshape(b, a, 4, c // 4)
-            proj = jnp.arange(self.reg_max, dtype=x.dtype)
+            x = pred_dist.reshape(b, a, 4, c // 4).astype(jnp.float32)
+            proj = jnp.arange(self.reg_max, dtype=jnp.float32)
             pred_dist = jnp.einsum("bafr,r->baf", jax.nn.softmax(x, axis=-1), proj)
+        else:
+            pred_dist = pred_dist.astype(jnp.float32)
         return dist2bbox(pred_dist, anchor_points, xywh=False)
 
     def _df_loss(self, pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -90,9 +97,15 @@ class v8DetectionLoss:
         tr = tl + 1
         wl = tr.astype(target.dtype) - target
         wr = 1 - wl
-        logp = jax.nn.log_softmax(pred_dist, axis=-1)
-        ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1).squeeze(-1)
-        ce_r = -jnp.take_along_axis(logp, tr.clip(max=self.reg_max - 1)[..., None], axis=-1).squeeze(-1)
+        logp = jax.nn.log_softmax(pred_dist.astype(jnp.float32), axis=-1)
+        # one-hot multiply-sum == gather (bit-exact: zeros add exactly), but fuses on
+        # TPU where take_along_axis lowers to a slow gather
+        oh_l = jax.nn.one_hot(tl, self.reg_max, dtype=logp.dtype)
+        oh_r = jax.nn.one_hot(tr.clip(max=self.reg_max - 1), self.reg_max, dtype=logp.dtype)
+        ce_l = -(logp * oh_l).sum(-1)
+        ce_r = -(logp * oh_r).sum(-1)
+        wl = wl.astype(logp.dtype)
+        wr = wr.astype(logp.dtype)
         return (ce_l * wl + ce_r * wr).mean(-1, keepdims=True)
 
     def __call__(self, feats: List[jnp.ndarray], targets: Dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -108,7 +121,7 @@ class v8DetectionLoss:
         gt_bboxes = targets["gt_bboxes"]  # xyxy pixels
         mask_gt = targets["mask_gt"]
 
-        pred_bboxes = self.bbox_decode(anchor_points, pred_distri)  # (B, A, 4) anchor units
+        pred_bboxes = self.bbox_decode(anchor_points, pred_distri)  # (B, A, 4) anchor units, fp32
 
         _, target_bboxes, target_scores, fg_mask, _ = self.assigner(
             jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
@@ -119,15 +132,19 @@ class v8DetectionLoss:
             mask_gt,
         )
 
+        # All accumulations below are fp32 even with bf16 logits: the upcasts fuse
+        # into the elementwise producers, so the big (B,A,nc) tensors stay bf16 in
+        # HBM on the amp path while sums/ratios are computed exactly.
+        target_scores = target_scores.astype(jnp.float32)
         target_scores_sum = jnp.maximum(target_scores.sum(), 1)
 
         # cls: BCE-with-logits, sum-normalized (loss.py:147)
-        bce = optax_sigmoid_bce(pred_scores, target_scores.astype(dtype))
+        bce = optax_sigmoid_bce(pred_scores.astype(jnp.float32), target_scores)
         loss_cls = bce.sum() / target_scores_sum
 
         # box + dfl, masked on fg
-        fg = fg_mask.astype(dtype)  # (B, A)
-        target_bboxes = target_bboxes / stride_tensor
+        fg = fg_mask.astype(jnp.float32)  # (B, A)
+        target_bboxes = target_bboxes.astype(jnp.float32) / stride_tensor
         weight = target_scores.sum(-1) * fg  # (B, A)
         iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True)
         loss_box = ((1.0 - iou) * weight).sum() / target_scores_sum
@@ -139,7 +156,7 @@ class v8DetectionLoss:
             ).squeeze(-1)
             loss_dfl = (df * weight).sum() / target_scores_sum
         else:
-            loss_dfl = jnp.zeros((), dtype)
+            loss_dfl = jnp.zeros((), jnp.float32)
 
         loss_items = jnp.stack([loss_box * self.hyp_box, loss_cls * self.hyp_cls, loss_dfl * self.hyp_dfl])
         return loss_items.sum() * batch_size, jax.lax.stop_gradient(loss_items)

@@ -17,6 +17,13 @@ from typing import Any, Dict, Optional
 from yololite_tpu.utils import LOGGER
 
 
+def clean_str(s):
+    """Replace special characters in a string with underscores (reference ops.py:491-503)."""
+    import re
+
+    return re.sub(pattern="[|@#!¡·$€%&()=?¿^*;:,¨´><+]", repl="_", string=s)
+
+
 class TryExcept:
     """Context manager / decorator that logs exceptions instead of raising."""
 

@@ -176,3 +176,121 @@ def plot_labels(boxes: np.ndarray, cls: np.ndarray, names: Dict[int, str], save_
     fig.tight_layout()
     fig.savefig(save_dir / "labels.jpg", dpi=150)
     plt.close(fig)
+
+
+def save_one_box(xyxy, im, file=Path("im.jpg"), gain=1.02, pad=10, square=False, BGR=False, save=True):
+    """Crop a box from `im` with the reference's gain/pad/square/clip semantics
+    (reference plotting.py:750-795) and optionally save it (RGB, quality 95).
+
+    xyxy: (4,) or (1,4) box; im: HWC uint8 (BGR, cv2 convention). Returns the crop.
+    """
+    from yololite_tpu.ops.boxes import clip_boxes_np, xywh2xyxy, xyxy2xywh
+    from yololite_tpu.utils import increment_path
+
+    b = xyxy2xywh(np.asarray(xyxy, np.float32).reshape(-1, 4))
+    if square:
+        b[:, 2:] = b[:, 2:].max(1, keepdims=True)  # rectangle to square
+    b[:, 2:] = b[:, 2:] * gain + pad  # box wh * gain + pad
+    out = xywh2xyxy(b).astype(np.int64).astype(np.float32)
+    out = clip_boxes_np(out, im.shape).astype(int)
+    crop = im[out[0, 1] : out[0, 3], out[0, 0] : out[0, 2], :: (1 if BGR else -1)]
+    if save:
+        from PIL import Image
+
+        file = Path(file)
+        file.parent.mkdir(parents=True, exist_ok=True)
+        f = str(increment_path(file).with_suffix(".jpg"))
+        Image.fromarray(crop[..., ::-1]).save(f, quality=95, subsampling=0)  # save RGB
+    return crop
+
+
+def plt_color_scatter(v, f, bins=20, cmap="viridis", alpha=0.8, edgecolors="none"):
+    """Scatter plot colored by 2D-histogram density (reference plotting.py:955-984)."""
+    import matplotlib.pyplot as plt
+
+    v = np.asarray(v, float)
+    f = np.asarray(f, float)
+    hist, xedges, yedges = np.histogram2d(v, f, bins=bins)
+    colors = [
+        hist[
+            min(np.digitize(v[i], xedges, right=True) - 1, hist.shape[0] - 1),
+            min(np.digitize(f[i], yedges, right=True) - 1, hist.shape[1] - 1),
+        ]
+        for i in range(len(v))
+    ]
+    plt.scatter(v, f, c=colors, cmap=cmap, alpha=alpha, edgecolors=edgecolors)
+
+
+def plot_tune_results(csv_file="tune_results.csv"):
+    """Scatter+fitness plots for hyperparameter tuning CSVs (reference plotting.py:986-1036)."""
+    import math as _math
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from yololite_tpu.utils import LOGGER
+
+    def _save_one_file(file):
+        plt.savefig(file, dpi=200)
+        plt.close()
+        LOGGER.info(f"Saved {file}")
+
+    csv_file = Path(csv_file)
+    import csv as _csv
+
+    with open(csv_file) as fh:
+        reader = _csv.reader(fh)
+        header = [h.strip() for h in next(reader)]
+        data = np.array([[float(v) for v in row] for row in reader])
+    keys = header[1:]
+    fitness = data[:, 0]
+    j = int(np.argmax(fitness))
+    n = _math.ceil(len(keys) ** 0.5)
+    plt.figure(figsize=(10, 10), tight_layout=True)
+    for i, k in enumerate(keys):
+        v = data[:, i + 1]
+        mu = v[j]
+        plt.subplot(n, n, i + 1)
+        plt_color_scatter(v, fitness, cmap="viridis", alpha=0.8, edgecolors="none")
+        plt.plot(mu, fitness.max(), "k+", markersize=15)
+        plt.title(f"{k} = {mu:.3g}", fontdict={"size": 9})
+        plt.tick_params(axis="both", labelsize=8)
+        if i % n != 0:
+            plt.yticks([])
+    _save_one_file(csv_file.with_name("tune_scatter_plots.png"))
+
+    x = range(1, len(fitness) + 1)
+    try:
+        from scipy.ndimage import gaussian_filter1d
+
+        smoothed = gaussian_filter1d(fitness, sigma=3)
+    except ImportError:  # pragma: no cover
+        k = np.ones(5) / 5
+        smoothed = np.convolve(fitness, k, mode="same")
+    plt.figure(figsize=(10, 6), tight_layout=True)
+    plt.plot(x, fitness, marker="o", linestyle="none", label="fitness")
+    plt.plot(x, smoothed, ":", label="smoothed", linewidth=2)
+    plt.title("Fitness vs Iteration")
+    plt.xlabel("Iteration")
+    plt.ylabel("Fitness")
+    plt.grid(True)
+    plt.legend()
+    _save_one_file(csv_file.with_name("tune_fitness.png"))
+
+
+def output_to_target(output, max_det=300):
+    """(B, max_det, 6) padded detections -> (batch_id, class_id, xywh boxes, conf)
+    for plot_images (reference plotting.py:1038-1047)."""
+    from yololite_tpu.ops.boxes import xyxy2xywh
+
+    targets = []
+    for i, o in enumerate(np.asarray(output)):
+        o = o[:max_det]
+        o = o[o[:, 4] > 0]  # conf==0 marks padded slots
+        box, conf, cls = o[:, :4], o[:, 4:5], o[:, 5:6]
+        j = np.full((len(o), 1), i, dtype=np.float32)
+        targets.append(np.concatenate((j, cls, xyxy2xywh(box), conf), 1))
+    t = np.concatenate(targets, 0) if targets else np.zeros((0, 7), np.float32)
+    return t[:, 0], t[:, 1], t[:, 2:-1], t[:, -1]
