@@ -120,3 +120,18 @@ def test_mosaic4_label_placement():
     ins = out["instances"]
     assert (ins.bboxes >= 0).all() and (ins.bboxes <= 192).all()
     assert len(out["cls"]) == len(ins)
+
+
+def test_albumentations_noop_without_package():
+    """Albumentations degrades to a no-op when the package is absent (guarded import)."""
+    import numpy as np
+
+    from yololite_tpu.data.augment import Albumentations
+    from yololite_tpu.utils.instance import Instances
+
+    t = Albumentations(p=1.0)
+    img = np.zeros((32, 32, 3), np.uint8)
+    labels = {"img": img, "cls": np.array([[0.0]]),
+              "instances": Instances(np.array([[0.5, 0.5, 0.2, 0.2]]), bbox_format="xywh", normalized=True)}
+    out = t(dict(labels))
+    assert out["img"] is img  # untouched

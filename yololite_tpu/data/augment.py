@@ -17,6 +17,7 @@ import cv2
 import numpy as np
 
 from yololite_tpu.ops.letterbox import LetterBox as _ImgLetterBox
+from yololite_tpu.utils import LOGGER
 from yololite_tpu.utils.instance import Instances
 
 
@@ -440,6 +441,75 @@ class Format:
         return labels
 
 
+class Albumentations:
+    """Optional albumentations pixel/spatial augmentations (reference augment.py:790-901).
+
+    Degrades to a no-op when the package is absent (it is not bundled in this
+    environment). When available, applies the reference's default recipe: Blur,
+    MedianBlur, ToGray, CLAHE at p=0.01 (brightness/gamma/compression at p=0).
+    """
+
+    _SPATIAL = frozenset({
+        "Affine", "BBoxSafeRandomCrop", "CenterCrop", "CoarseDropout", "Crop", "CropAndPad",
+        "CropNonEmptyMaskIfExists", "D4", "ElasticTransform", "Flip", "GridDistortion",
+        "GridDropout", "HorizontalFlip", "Lambda", "LongestMaxSize", "MaskDropout", "MixUp",
+        "Morphological", "NoOp", "OpticalDistortion", "PadIfNeeded", "Perspective",
+        "PiecewiseAffine", "PixelDropout", "RandomCrop", "RandomCropFromBorders",
+        "RandomGridShuffle", "RandomResizedCrop", "RandomRotate90", "RandomScale",
+        "RandomSizedBBoxSafeCrop", "RandomSizedCrop", "Resize", "Rotate", "SafeRotate",
+        "ShiftScaleRotate", "SmallestMaxSize", "Transpose", "VerticalFlip", "XYMasking",
+    })
+
+    def __init__(self, p=1.0):
+        self.p = p
+        self.transform = None
+        self.contains_spatial = False
+        try:
+            import albumentations as A
+        except ImportError:
+            return  # optional dependency absent: no-op
+        try:
+            recipe = [
+                A.Blur(p=0.01),
+                A.MedianBlur(p=0.01),
+                A.ToGray(p=0.01),
+                A.CLAHE(p=0.01),
+                A.RandomBrightnessContrast(p=0.0),
+                A.RandomGamma(p=0.0),
+                A.ImageCompression(quality_lower=75, p=0.0),
+            ]
+            self.contains_spatial = any(t.__class__.__name__ in self._SPATIAL for t in recipe)
+            if self.contains_spatial:
+                self.transform = A.Compose(
+                    recipe, bbox_params=A.BboxParams(format="yolo", label_fields=["class_labels"])
+                )
+            else:
+                self.transform = A.Compose(recipe)
+            LOGGER.info("albumentations: " + ", ".join(str(t) for t in recipe if t.p))
+        except Exception as e:  # version/API mismatch: degrade to no-op
+            LOGGER.info(f"albumentations: {e}")
+
+    def __call__(self, labels):
+        if self.transform is None or random.random() > self.p:
+            return labels
+        if not self.contains_spatial:
+            labels["img"] = self.transform(image=labels["img"])["image"]
+            return labels
+        cls = labels["cls"]
+        if len(cls):
+            im = labels["img"]
+            labels["instances"].convert_bbox("xywh")
+            labels["instances"].normalize(*im.shape[:2][::-1])
+            bboxes = labels["instances"].bboxes
+            new = self.transform(image=im, bboxes=bboxes, class_labels=cls)
+            if len(new["class_labels"]) > 0:
+                labels["img"] = new["image"]
+                labels["cls"] = np.array(new["class_labels"])
+                bboxes = np.array(new["bboxes"], dtype=np.float32)
+            labels["instances"].update(bboxes=bboxes)
+        return labels
+
+
 def v8_transforms(dataset, imgsz, hyp, stretch=False):
     """Standard YOLO training pipeline (reference augment.py:958-1006)."""
     mosaic = Mosaic(dataset, imgsz=imgsz, p=hyp.mosaic)
@@ -458,6 +528,7 @@ def v8_transforms(dataset, imgsz, hyp, stretch=False):
         [
             pre_transform,
             MixUp(dataset, pre_transform=pre_transform, p=hyp.mixup),
+            Albumentations(p=1.0),
             RandomHSV(hgain=hyp.hsv_h, sgain=hyp.hsv_s, vgain=hyp.hsv_v),
             RandomFlip(direction="vertical", p=hyp.flipud),
             RandomFlip(direction="horizontal", p=hyp.fliplr),
