@@ -29,7 +29,7 @@ MEASURED_TFLOPS = 124.5e12  # 8192^3 bf16 matmul on this chip (docs/PERF.md)
 GFLOPS = {"n": 6.6e9, "m": 68.5e9}  # model spec, reference cfg/yolo11.yaml:8-10
 
 
-def bench_scale(scale: str, batches, iters: int = 20):
+def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -40,10 +40,18 @@ def bench_scale(scale: str, batches, iters: int = 20):
 
     model = DetectionModel(f"yolo11{scale}.yaml")
     params, state = model.init(0)
-    params, state = fuse_tree(params, state)  # fold BN (inference path)
-    cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
-    params_h = jax.device_put(cast(params))
-    state_h = jax.device_put(cast(state))
+    if int8:  # quantized serving path (per-channel weights + calibrated activations)
+        from yololite_tpu.models.quant import quantize_model
+
+        calib = [np.random.default_rng(1).random((2, 640, 640, 3), np.float32)]
+        params, state, _ = quantize_model(model, params, state, calib)
+        params_h = jax.device_put(params)
+        state_h = jax.device_put(state)
+    else:
+        params, state = fuse_tree(params, state)  # fold BN (inference path)
+        cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
+        params_h = jax.device_put(cast(params))
+        state_h = jax.device_put(cast(state))
 
     @jax.jit
     def loop(params, state, images, salt):
@@ -86,6 +94,8 @@ def main():
 
     rate_n, bs_n = bench_scale("n", (64, 128))
     rate_m, bs_m = bench_scale("m", (32, 64))
+    rate_m8, _ = bench_scale("m", (64,), int8=True)
+    print(f"yolo11m int8 serve: {rate_m8:.1f} img/s", file=sys.stderr)
 
     sol_n = NOMINAL_TFLOPS / GFLOPS["n"]  # ~29.8k img/s nominal-spec bound
     dev_sol_n = MEASURED_TFLOPS / GFLOPS["n"]
@@ -107,6 +117,7 @@ def main():
                 "yolo11m_img_s": round(rate_m, 1),
                 "yolo11m_bs": bs_m,
                 "yolo11m_vs_measured_device_sol": round(rate_m / dev_sol_m, 4),
+                "yolo11m_int8_img_s": round(rate_m8, 1),
             }
         )
     )

@@ -45,6 +45,7 @@ class DetectionPredictor:
         self.params = None
         self.state = None
         self.mesh = None
+        self._quantized = False
         self.dataset = None
         self.results = None
         self.seen = 0
@@ -148,6 +149,29 @@ class DetectionPredictor:
             source, batch=self.args.batch, vid_stride=self.args.vid_stride, buffer=self.args.stream_buffer
         )
 
+    def _maybe_quantize(self, im0s):
+        """int8 serving: calibrate on the first real batch, then swap in quantized weights.
+
+        Activation scales come from this batch's post-SiLU absmax per conv (global
+        symmetric scale); weights get per-output-channel scales. Pays off at m/l/x
+        channel widths (yolo11m forward: 1278 -> 1807 img/s on v5e, docs/PERF.md);
+        at n-scale the narrow convs are layout-bound and int8 is neutral.
+        """
+        if not bool(self.args.int8) or self._quantized:
+            return
+        from yololite_tpu.models.quant import quantize_model
+        from yololite_tpu.ops.letterbox import preprocess_batch
+        from yololite_tpu.parallel.mesh import replicate_tree
+
+        calib = preprocess_batch(im0s, imgsz=self.imgsz[0])
+        host_p = jax.tree.map(np.asarray, self.params)
+        host_s = jax.tree.map(np.asarray, self.state)
+        qp, qs, _ = quantize_model(self.model, host_p, host_s, [calib])
+        self.params = replicate_tree(self.mesh, qp)
+        self.state = replicate_tree(self.mesh, qs)
+        self._quantized = True
+        LOGGER.info("int8 serving: weights quantized (per-channel), activations calibrated on first batch")
+
     def _put(self, arr):
         """Host batch -> device(s): batch-sharded over the mesh when divisible."""
         from yololite_tpu.parallel.mesh import mesh_size, shard_batch
@@ -183,6 +207,7 @@ class DetectionPredictor:
         with self._lock:
             for paths, im0s, infos in Prefetcher(self.dataset, depth=2):
                 n = len(im0s)
+                self._maybe_quantize(im0s)
                 same_shape = len({im.shape for im in im0s}) == 1
                 with profilers[0]:
                     if same_shape:

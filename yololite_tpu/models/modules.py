@@ -28,11 +28,14 @@ BN_MOMENTUM = 0.03  # and momentum=0.03 (torch_utils.py:250)
 class Ctx:
     """Per-forward context: train flag, BN stat collector, optional feature taps."""
 
-    def __init__(self, train: bool = False, capture: Optional[Sequence[int]] = None):
+    def __init__(self, train: bool = False, capture: Optional[Sequence[int]] = None,
+                 calibrate: bool = False):
         self.train = train
         self.updates: Dict[Tuple[str, ...], Dict[str, jnp.ndarray]] = {}
         self.capture = set(capture or ())  # layer indices whose outputs to record
         self.features: Dict[int, jnp.ndarray] = {}
+        self.calibrate = calibrate  # int8 calibration: record per-conv activation absmax
+        self.act_absmax: Dict[Tuple[str, ...], jnp.ndarray] = {}
 
 
 def autopad(k, p=None, d: int = 1):
@@ -57,25 +60,37 @@ def _kaiming_uniform(kg: "KeyGen", shape, fan_in):
     return jnp.asarray(kg.rng.uniform(-bound, bound, size=shape), dtype=jnp.float32)
 
 
-def conv2d(x, w, stride=1, padding=0, groups=1, dilation=1):
+def conv2d(x, w, stride=1, padding=0, groups=1, dilation=1, pet=None):
     """NHWC conv with HWIO weights; stride/padding/dilation may be int or (h, w).
 
     Dtype-polymorphic: weights follow the activation dtype (bf16 activations with
     fp32 master weights = mixed-precision training; the cast is differentiable so
-    gradients land on the fp32 leaves).
+    gradients land on the fp32 leaves). `pet` sets preferred_element_type for the
+    accumulator (int32 for the int8 serving path); weights are not cast then.
     """
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
     p = (padding, padding) if isinstance(padding, int) else tuple(padding)
     d = (dilation, dilation) if isinstance(dilation, int) else tuple(dilation)
     return jax.lax.conv_general_dilated(
         x,
-        w.astype(x.dtype),
+        w if pet is not None else w.astype(x.dtype),
         window_strides=s,
         padding=[(p[0], p[0]), (p[1], p[1])],
         rhs_dilation=d,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
+        preferred_element_type=pet,
     )
+
+
+def quantize_act(x, scale):
+    """bf16/f32 activations -> int8 at the given scale (symmetric, saturating)."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+
+
+def dequantize_act(x, scale, dtype=jnp.bfloat16):
+    """int8 activations -> float at the given scale."""
+    return (x.astype(jnp.float32) * scale).astype(dtype)
 
 
 def batchnorm(params, state, x, ctx: Ctx, path):
@@ -158,12 +173,27 @@ class Conv(Module):
         return y
 
     def __call__(self, params, state, x, ctx, path=()):
+        q = params.get("q") if isinstance(params, dict) else None
+        if q is not None:  # int8 serving path (weights pre-quantized by models.quant)
+            if x.dtype != jnp.int8:  # bf16 island boundary: quantize on the fly
+                x = quantize_act(x, q["sin"])
+            acc = conv2d(x, q["w"], self.s, self.p, self.g, self.d, pet=jnp.int32)
+            y = acc.astype(jnp.float32) * (q["sin"] * q["sw"]) + params["conv"]["b"]
+            y = self._act(y.astype(jnp.bfloat16))
+            if "sout" in q:  # consumer is a quantized conv: keep the edge int8
+                y = quantize_act(y, q["sout"])
+            return y
+        if x.dtype == jnp.int8:  # int8 edge into an unquantized conv: dequantize
+            x = dequantize_act(x, params["deq_s"])
         y = conv2d(x, params["conv"]["w"], self.s, self.p, self.g, self.d)
         if "bn" in params:
             y = batchnorm(params["bn"], state["bn"], y, ctx, path + ("bn",))
         else:  # BN folded into the conv at fuse time (reference torch_utils.py:182-209)
             y = y + params["conv"]["b"].astype(y.dtype)
-        return self._act(y)
+        y = self._act(y)
+        if getattr(ctx, "calibrate", False):  # record post-activation absmax
+            ctx.act_absmax[path] = jnp.max(jnp.abs(y.astype(jnp.float32)))
+        return y
 
     @staticmethod
     def fuse(params, state):
@@ -278,7 +308,11 @@ class Bottleneck(_Composite):
 
     def __call__(self, params, state, x, ctx, path=()):
         y = self._apply("cv2", params, state, self._apply("cv1", params, state, x, ctx, path), ctx, path)
-        return x + y if self.add else y
+        if not self.add:
+            return y
+        if x.dtype == jnp.int8:  # int8 serving: both edges share the global scale
+            return jnp.clip(x.astype(jnp.int16) + y.astype(jnp.int16), -127, 127).astype(jnp.int8)
+        return x + y
 
 
 class C3(_Composite):
@@ -366,9 +400,13 @@ class SPPF(_Composite):
 
     def _pool(self, x):
         p = self.k // 2
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            init = jnp.array(-jnp.inf, x.dtype)
+        else:
+            init = jnp.array(jnp.iinfo(x.dtype).min, x.dtype)
         return jax.lax.reduce_window(
             x,
-            -jnp.inf,
+            init,
             jax.lax.max,
             window_dimensions=(1, self.k, self.k, 1),
             window_strides=(1, 1, 1, 1),
