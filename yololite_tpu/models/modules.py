@@ -400,8 +400,13 @@ class SPPF(_Composite):
 
     def _pool(self, x):
         p = self.k // 2
+        # Float init must be a PYTHON scalar: a jnp.array constant breaks
+        # reduce_window's linearization under jit(grad(...)) on jax 0.9
+        # ("Linearization failed to produce known values for all output primals").
+        # Int pooling (quantized serving) is never differentiated, and its init
+        # must carry the exact operand dtype.
         if jnp.issubdtype(x.dtype, jnp.floating):
-            init = jnp.array(-jnp.inf, x.dtype)
+            init = -jnp.inf
         else:
             init = jnp.array(jnp.iinfo(x.dtype).min, x.dtype)
         return jax.lax.reduce_window(
