@@ -25,7 +25,8 @@ def test_pallas_nms_matches_scan():
         greedy_nms_keep_pallas(jnp.asarray(iou), jnp.asarray(valid), 0.45, interpret=True)
     )
     for b in range(B):
-        keep_scan = np.asarray(_greedy_keep(jnp.asarray(iou[b]), jnp.asarray(valid[b]), 0.45))
+        # _greedy_keep takes the (K, 4) boxes and computes IoU slabs on the fly
+        keep_scan = np.asarray(_greedy_keep(jnp.asarray(boxes[b]), jnp.asarray(valid[b]), 0.45))
         np.testing.assert_array_equal(keep_pallas[b] > 0, keep_scan)
 
 
