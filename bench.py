@@ -29,7 +29,7 @@ MEASURED_TFLOPS = 124.5e12  # 8192^3 bf16 matmul on this chip (docs/PERF.md)
 GFLOPS = {"n": 6.6e9, "m": 68.5e9}  # model spec, reference cfg/yolo11.yaml:8-10
 
 
-def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False):
+def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False, mode: str = "greedy"):
     import jax
     import jax.numpy as jnp
 
@@ -60,7 +60,7 @@ def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False):
             # bf16 scores through decode+NMS (boxes fp32 for IoU accuracy)
             boxes, scores = decode_detections(feats, model.strides, model.nc, model.reg_max, xywh=False)
             dets = non_max_suppression(boxes.astype(jnp.float32), scores, conf_thres=0.25, iou_thres=0.7,
-                                       max_det=300, max_cand=512)
+                                       max_det=300, max_cand=512, mode=mode)
             return (jnp.sum(dets) * 1e-12).astype(jnp.float32), None
 
         out, _ = jax.lax.scan(body, salt, None, length=iters)
@@ -86,26 +86,46 @@ def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False):
     return best, best_bs
 
 
+BUDGET_S = 400  # wall budget for the optional stages: the JSON line must always print
+
+
 def main():
     import jax
 
+    t0 = time.perf_counter()
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", file=sys.stderr)
 
-    rate_n, bs_n = bench_scale("n", (64, 128))
-    rate_m, bs_m = bench_scale("m", (32, 64))
-    rate_m8, _ = bench_scale("m", (64,), int8=True)
-    print(f"yolo11m int8 serve: {rate_m8:.1f} img/s", file=sys.stderr)
+    rate_n, bs_n = bench_scale("n", (128,))  # bs sweep 64..256 always favored 128 (docs/PERF.md)
+    extras = {}
+
+    def stage(key, fn, fmt):
+        """Optional stage: skipped once over budget (remote compiles are minutes)."""
+        left = BUDGET_S - (time.perf_counter() - t0)
+        if left < 60:
+            print(f"{key}: skipped (over {BUDGET_S}s budget)", file=sys.stderr)
+            return None
+        try:
+            r, _ = fn()
+        except Exception as e:  # never lose the headline JSON to an optional stage
+            print(f"{key}: {type(e).__name__}: {e}", file=sys.stderr)
+            return None
+        print(fmt.format(r), file=sys.stderr)
+        extras[key] = round(r, 1)
+        return r
+
+    stage("yolo11n_serve_img_s", lambda: bench_scale("n", (128,), mode="serve"),
+          "yolo11n serve mode: {:.1f} img/s")
+    rate_m = stage("yolo11m_img_s", lambda: bench_scale("m", (64,)), "yolo11m: {:.1f} img/s")
+    stage("yolo11m_int8_img_s", lambda: bench_scale("m", (64,), int8=True),
+          "yolo11m int8 serve: {:.1f} img/s")
 
     sol_n = NOMINAL_TFLOPS / GFLOPS["n"]  # ~29.8k img/s nominal-spec bound
     dev_sol_n = MEASURED_TFLOPS / GFLOPS["n"]
-    dev_sol_m = MEASURED_TFLOPS / GFLOPS["m"]
-    mfu_m = rate_m * GFLOPS["m"] / MEASURED_TFLOPS
-    print(
-        f"measured-device SoL fractions: n={rate_n / dev_sol_n:.3f} m={rate_m / dev_sol_m:.3f} "
-        f"(m-scale MFU {mfu_m * 100:.1f}% of measured peak)",
-        file=sys.stderr,
-    )
+    if rate_m:
+        extras["yolo11m_bs"] = 64
+        extras["yolo11m_vs_measured_device_sol"] = round(rate_m / (MEASURED_TFLOPS / GFLOPS["m"]), 4)
+        print(f"m-scale MFU {rate_m * GFLOPS['m'] / MEASURED_TFLOPS * 100:.1f}% of measured peak", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -114,10 +134,7 @@ def main():
                 "unit": "img/s",
                 "vs_baseline": round(rate_n / sol_n, 4),
                 "vs_measured_device_sol": round(rate_n / dev_sol_n, 4),
-                "yolo11m_img_s": round(rate_m, 1),
-                "yolo11m_bs": bs_m,
-                "yolo11m_vs_measured_device_sol": round(rate_m / dev_sol_m, 4),
-                "yolo11m_int8_img_s": round(rate_m8, 1),
+                **extras,
             }
         )
     )

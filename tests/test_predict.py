@@ -188,3 +188,100 @@ def test_pytree_to_state_dict_roundtrip(fake_pt):
         np.testing.assert_allclose(np.asarray(v), ref_sd[k], atol=1e-6, err_msg=k)
     skipped = {k for k in ref_sd if k not in sd}
     assert all("num_batches" in k or "dfl" in k for k in skipped)
+
+
+def test_load_pt_pickled_ensemble(fake_pt, tmp_path):
+    """A torch-saved reference `Ensemble` object (tasks.py:448) unwraps to its model."""
+    import torch
+
+    pt, tm = fake_pt
+    sys.path.insert(0, str(REFERENCE))
+    from yololite.nn.tasks import Ensemble
+
+    ens = Ensemble()
+    ens.append(tm)
+    ept = tmp_path / "ensemble.pt"
+    torch.save({"model": ens, "train_args": {"imgsz": 640}}, str(ept))
+
+    from yololite_tpu.models.checkpoint import load_pt
+
+    model, params, state, meta = load_pt(str(ept))
+    w_torch = tm.state_dict()["model.0.conv.weight"].numpy()
+    w_jax = np.asarray(params["0"]["conv"]["w"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(w_jax, w_torch, atol=1e-6)
+
+
+def test_load_pt_fused_conv_checkpoint(fake_pt, tmp_path):
+    """A fused checkpoint (BN folded into conv, ultralytics fuse() layout) loads and
+    produces the same forward as the unfused one."""
+    import copy
+
+    import torch
+
+    pt, tm = fake_pt
+    sys.path.insert(0, str(REFERENCE))
+    from yololite.utils.torch_utils import fuse_conv_and_bn
+
+    fused = copy.deepcopy(tm)
+    for m in fused.modules():
+        if type(m).__name__ in ("Conv", "DWConv") and hasattr(m, "bn"):
+            m.conv = fuse_conv_and_bn(m.conv, m.bn)
+            delattr(m, "bn")
+    fpt = tmp_path / "fused.pt"
+    torch.save({"model": fused, "train_args": {"imgsz": 640}}, str(fpt))
+
+    from yololite_tpu.models.checkpoint import load_pt
+
+    model_u, params_u, state_u, _ = load_pt(pt)
+    model_f, params_f, state_f, _ = load_pt(str(fpt))
+    assert "bn" not in params_f["0"], "fused checkpoint should map onto a fused pytree"
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 128, 128, 3), dtype=np.float32))
+    feats_u = model_u.apply(params_u, state_u, x)
+    feats_f = model_f.apply(params_f, state_f, x)
+    for a, b in zip(feats_u, feats_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4)
+
+
+def test_load_pt_nc_mismatch_intersect(fake_pt):
+    """Fine-tune flow: loading an 80-class .pt at nc=2 transfers every
+    shape-matching leaf (incl. the nc-independent cv2 box branch) and keeps the
+    fresh class head (reference intersect_dicts, tasks.py:197-210)."""
+    pt, _ = fake_pt
+    from yololite_tpu.models.checkpoint import load_pt
+
+    m80, p80, s80, _ = load_pt(pt)
+    m2, p2, s2, _ = load_pt(pt, nc=2)
+    assert m2.nc == 2
+    np.testing.assert_allclose(
+        np.asarray(p2["0"]["conv"]["w"]), np.asarray(p80["0"]["conv"]["w"]), atol=0
+    )
+    k = str(m2.rows[-1].i)
+    np.testing.assert_allclose(  # box branch is nc-independent -> transferred
+        np.asarray(p2[k]["cv2"]["0"]["2"]["w"]), np.asarray(p80[k]["cv2"]["0"]["2"]["w"]), atol=0
+    )
+    # class head output conv has nc=2 channels (fresh init)
+    assert np.asarray(p2[k]["cv3"]["0"]["2"]["w"]).shape[-1] == 2
+
+
+def test_predict_tensor_source(fake_pt):
+    """NHWC float tensor sources bypass letterboxing (our LoadTensor analogue)."""
+    pt, _ = fake_pt
+    from yololite_tpu import YOLOLite
+
+    m = YOLOLite(pt)
+    rng = np.random.default_rng(11)
+    batch = rng.random((2, 160, 160, 3)).astype(np.float32)  # RGB 0-1, stride-divisible
+    results = m.predict(batch, conf=1e-7, verbose=False, save=False, batch=2)
+    assert len(results) == 2
+    r = results[0]
+    assert r.orig_shape == (160, 160)
+    assert len(r.boxes) > 0  # random weights at tiny conf produce boxes
+    xyxy = r.boxes.xyxy
+    assert (xyxy >= 0).all() and (xyxy[:, 2] <= 160).all() and (xyxy[:, 3] <= 160).all()
+    # jax device arrays are accepted too
+    import jax.numpy as _jnp
+
+    results2 = m.predict(_jnp.asarray(batch), conf=1e-7, verbose=False, save=False, batch=2)
+    assert len(results2) == 2

@@ -211,3 +211,30 @@ def test_results_to_xml():
     assert "person" in xml and xml.startswith("<?xml")
     empty = Results(img, path="x.jpg", names={0: "person"}, boxes=np.zeros((0, 6)))
     assert "<root></root>" in empty.to_xml()
+
+
+def test_annotator_surface():
+    """Expanded Annotator drawing surface (reference plotting.py:151-693)."""
+    import numpy as np
+
+    from yololite_tpu.utils.plotting import Annotator
+
+    im = np.zeros((200, 300, 3), np.uint8)
+    a = Annotator(im.copy())
+    a.box_label([10, 10, 100, 80], "person 0.9", color=(255, 42, 4))
+    a.box_label(np.array([[120, 20], [180, 30], [170, 90], [115, 75]]), "obb", rotated=True)
+    a.circle_label([10, 100, 80, 160], "12345")  # truncates to 3 chars
+    a.text_label([150, 100, 280, 160], "queue")
+    a.text((5, 190), "hello", box_style=True)
+    a.rectangle((200, 5, 290, 40), outline=(0, 255, 0), width=2)
+    a.draw_region([(10, 10), (290, 10), (290, 190), (10, 190)], thickness=2)
+    a.draw_centroid_and_tracks([(20, 20), (40, 35), (60, 60)])
+    a.visioneye([200, 100, 260, 150], (150, 195))
+    w, h, area = Annotator.get_bbox_dimension([10, 10, 100, 80])
+    assert (w, h, area) == (90, 70, 6300)
+    out = a.result()
+    assert out.shape == im.shape and out.any(), "drawing must modify pixels"
+    # dark-background label gets dark-on-light text color
+    assert a.get_txt_color((255, 255, 0)) == (104, 31, 17)
+    assert a.get_txt_color((255, 42, 4)) == (255, 255, 255)
+    assert a.get_txt_color((1, 2, 3), (9, 9, 9)) == (9, 9, 9)

@@ -88,3 +88,172 @@ def test_zoo_block_parity(case):
     jy = jb(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)), M.Ctx(train=False))
     jy = np.asarray(jy).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(jy, ty.numpy(), rtol=2e-4, atol=2e-4, err_msg=label)
+
+
+@needs_ref
+@pytest.mark.parametrize("name,ours_fn,ref_args", [
+    ("Conv2", lambda: Z.Conv2(32, 64, 3, 1), (32, 64, 3, 1)),
+    ("Conv2-s2", lambda: Z.Conv2(32, 64, 3, 2), (32, 64, 3, 2)),
+], ids=["Conv2", "Conv2-s2"])
+def test_conv2_parity(name, ours_fn, ref_args):
+    import torch
+
+    tb = _torch_block("Conv2", ref_args)
+    jb = ours_fn()
+    params, state = jb.init(M.KeyGen(0))
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+    params, state = map_state_dict_into(sd, params, state)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, ref_args[0], 32, 32), dtype=np.float32)
+    with torch.no_grad():
+        ty = tb(torch.from_numpy(x))
+    jy = jb(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)), M.Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(jy).transpose(0, 3, 1, 2), ty.numpy(), rtol=2e-4, atol=2e-4)
+    # fused path (1x1 folded into center tap + BN) matches the unfused forward
+    from yololite_tpu.models.modules import fuse_tree
+
+    fp, fs = fuse_tree(params, state)
+    assert "cv2" not in fp and "bn" not in fp
+    jyf = jb(fp, fs, jnp.asarray(x.transpose(0, 2, 3, 1)), M.Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(jyf), np.asarray(jy), rtol=1e-4, atol=1e-4)
+
+
+@needs_ref
+def test_dwconvtranspose2d_parity():
+    import torch
+
+    tb = _torch_block("DWConvTranspose2d", (32, 32, 2, 2))
+    jb = Z.DWConvTranspose2d(32, 32, 2, 2)
+    params, state = jb.init(M.KeyGen(0))
+    # grouped transposed conv: torch weight (c_in, c_out//g, kh, kw) -> flipped
+    # (kh, kw, c_in//g, c_out) with output channels g-major
+    w = tb.weight.detach().numpy()[:, :, ::-1, ::-1]
+    g = tb.groups
+    cin, outg, kh, kw = w.shape
+    w = w.reshape(g, cin // g, outg, kh, kw).transpose(3, 4, 1, 0, 2).reshape(kh, kw, cin // g, g * outg)
+    params["wt"] = jnp.asarray(w.copy())
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 32, 16, 16), dtype=np.float32)
+    with torch.no_grad():
+        ty = tb(torch.from_numpy(x))
+    jy = jb(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)), M.Ctx(train=False))
+    jyt = np.asarray(jy).transpose(0, 3, 1, 2) + tb.bias.detach().numpy()[None, :, None, None]
+    np.testing.assert_allclose(jyt, ty.numpy(), rtol=2e-4, atol=2e-4)
+
+
+@needs_ref
+@pytest.mark.parametrize("scale", [False, True], ids=["noscale", "scale"])
+def test_max_sigmoid_attn_parity(scale):
+    import torch
+
+    # reference block requires ec == c2 (its embed/guide head reshapes share hc);
+    # not exported from nn.modules __init__ -> import from block directly
+    import sys as _sys
+    _sys.path.insert(0, str(REFERENCE))
+    from yololite.nn.modules.block import MaxSigmoidAttnBlock as TorchMSAB
+    import torch as _torch
+
+    _torch.manual_seed(0)
+    tb = TorchMSAB(48, 32, 2, 32, 24, scale)
+    for m in tb.modules():
+        if isinstance(_torch.nn.BatchNorm2d, type) and isinstance(m, _torch.nn.BatchNorm2d):
+            m.eps = 1e-3
+    tb.eval()
+    jb = Z.MaxSigmoidAttnBlock(48, 32, nh=2, ec=32, gc=24, scale=scale)
+    params, state = jb.init(M.KeyGen(0))
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+    params, state = map_state_dict_into(sd, params, state)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 48, 16, 16), dtype=np.float32)
+    g = rng.standard_normal((2, 5, 24), dtype=np.float32)
+    with torch.no_grad():
+        ty = tb(torch.from_numpy(x), torch.from_numpy(g))
+    jy = jb(params, state, [jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(g)], M.Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(jy).transpose(0, 3, 1, 2), ty.numpy(), rtol=2e-4, atol=2e-4)
+
+
+@needs_ref
+def test_c2fattn_parity():
+    import torch
+
+    tb = _torch_block("C2fAttn", (32, 64, 2, 32, 2, 24))  # ec must equal c2*e (reference constraint)
+    jb = Z.C2fAttn(32, 64, 2, ec=32, nh=2, gc=24)
+    params, state = jb.init(M.KeyGen(0))
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+    params, state = map_state_dict_into(sd, params, state)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 32, 16, 16), dtype=np.float32)
+    g = rng.standard_normal((2, 5, 24), dtype=np.float32)
+    with torch.no_grad():
+        ty = tb(torch.from_numpy(x), torch.from_numpy(g))
+    jy = jb(params, state, [jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(g)], M.Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(jy).transpose(0, 3, 1, 2), ty.numpy(), rtol=2e-4, atol=2e-4)
+
+
+@needs_ref
+def test_image_pooling_attn_parity():
+    import torch
+
+    tb = _torch_block("ImagePoolingAttn", (32, (16, 24), 48, 4, 3, False))
+    jb = Z.ImagePoolingAttn(ec=32, ch=(16, 24), ct=48, nh=4, k=3, scale=False)
+    params, state = jb.init(M.KeyGen(0))
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+    params, state = map_state_dict_into(sd, params, state)
+    rng = np.random.default_rng(4)
+    f1 = rng.standard_normal((2, 16, 20, 20), dtype=np.float32)
+    f2 = rng.standard_normal((2, 24, 10, 10), dtype=np.float32)
+    text = rng.standard_normal((2, 7, 48), dtype=np.float32)
+    with torch.no_grad():
+        ty = tb([torch.from_numpy(f1), torch.from_numpy(f2)], torch.from_numpy(text))
+    jy = jb(params, state,
+            [jnp.asarray(f1.transpose(0, 2, 3, 1)), jnp.asarray(f2.transpose(0, 2, 3, 1)), jnp.asarray(text)],
+            M.Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(jy), ty.numpy(), rtol=2e-4, atol=2e-4)
+
+
+@needs_ref
+@pytest.mark.parametrize("bn", [False, True], ids=["l2", "bn"])
+def test_contrastive_head_parity(bn):
+    import torch
+
+    if bn:
+        tb = _torch_block("BNContrastiveHead", (24,))
+        jb = Z.BNContrastiveHead(24)
+    else:
+        tb = _torch_block("ContrastiveHead", ())
+        jb = Z.ContrastiveHead()
+    params, state = jb.init(M.KeyGen(0))
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+    params, state = map_state_dict_into(sd, params, state)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 24, 8, 8), dtype=np.float32)
+    w = rng.standard_normal((2, 6, 24), dtype=np.float32)
+    with torch.no_grad():
+        ty = tb(torch.from_numpy(x), torch.from_numpy(w))
+    jy = jb(params, state, [jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(w)], M.Ctx(train=False))
+    np.testing.assert_allclose(np.asarray(jy).transpose(0, 3, 1, 2), ty.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_parse_spec_new_blocks():
+    """Graph compiler builds yamls using the round-2 zoo additions."""
+    from yololite_tpu.models.model import DetectionModel
+
+    spec = {
+        "nc": 4,
+        "backbone": [
+            [-1, 1, "Conv2", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [64, 3, 2]],
+            [-1, 1, "Conv", [64, 3, 2]],
+            [-1, 1, "Conv", [64, 3, 2]],
+        ],
+        "head": [[[2, 3, 4], 1, "Detect", ["nc"]]],
+    }
+    m = DetectionModel(spec)
+    assert m.strides == [8, 16, 32]
+    params, state = m.init(0)
+    import numpy as np
+
+    x = jnp.asarray(np.zeros((1, 64, 64, 3), np.float32))
+    feats = m.apply(params, state, x)
+    assert [f.shape[1] for f in feats] == [8, 4, 2]

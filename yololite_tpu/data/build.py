@@ -28,8 +28,8 @@ from yololite_tpu.data.loaders import (
 
 
 def check_source(source):
-    """Classify a source -> (source, stream, screenshot, from_img, in_memory)."""
-    webcam, screenshot, from_img, in_memory = False, False, False, False
+    """Classify a source -> (source, stream, screenshot, from_img, in_memory, tensor)."""
+    webcam, screenshot, from_img, in_memory, tensor = False, False, False, False, False
     if isinstance(source, (str, int, Path)):
         s = str(source)
         is_file = s.rpartition(".")[-1].lower() in (IMG_FORMATS | VID_FORMATS)
@@ -43,16 +43,28 @@ def check_source(source):
             source = autocast_list(source)
             from_img = True
     elif isinstance(source, np.ndarray):
-        from_img = True
+        # a batched float array is a pre-normalized tensor source (our NHWC
+        # analogue of the reference's torch BCHW LoadTensor, loaders.py:480-546)
+        if source.ndim == 4 and np.issubdtype(source.dtype, np.floating):
+            tensor = True
+        else:
+            from_img = True
+    elif type(source).__module__.startswith("jax"):  # device array -> tensor source
+        source = np.asarray(source)
+        tensor = True
     else:  # PIL image or anything array-like
         from_img = True
-    return source, webcam, screenshot, from_img, in_memory
+    return source, webcam, screenshot, from_img, in_memory, tensor
 
 
 def load_inference_source(source, batch: int = 1, vid_stride: int = 1, buffer: bool = False):
     """Build the right loader for the given source; attaches .source_type flags."""
-    source, stream, screenshot, from_img, _ = check_source(source)
-    if stream:
+    source, stream, screenshot, from_img, _, tensor = check_source(source)
+    if tensor:
+        from yololite_tpu.data.loaders import LoadTensor
+
+        dataset = LoadTensor(source)
+    elif stream:
         dataset = LoadStreams(source, vid_stride=vid_stride, buffer=buffer)
     elif screenshot:
         dataset = LoadScreenshots(source)
@@ -60,7 +72,7 @@ def load_inference_source(source, batch: int = 1, vid_stride: int = 1, buffer: b
         dataset = LoadPilAndNumpy(source)
     else:
         dataset = LoadImagesAndVideos(source, batch=batch, vid_stride=vid_stride)
-    dataset.source_type = SourceTypes(stream=stream, screenshot=screenshot, from_img=from_img)
+    dataset.source_type = SourceTypes(stream=stream, screenshot=screenshot, from_img=from_img, tensor=tensor)
     return dataset
 
 

@@ -19,6 +19,8 @@ from urllib.parse import urlparse
 import cv2
 import numpy as np
 
+from yololite_tpu.utils import LOGGER
+
 IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm", "heic"}
 VID_FORMATS = {"asf", "avi", "gif", "m4v", "mkv", "mov", "mp4", "mpeg", "mpg", "ts", "wmv", "webm"}
 
@@ -109,6 +111,51 @@ class LoadImagesAndVideos:
                 imgs.append(im)
                 infos.append(f"image {self.count}/{self.nf} {path}: ")
         return paths, imgs, infos
+
+
+class LoadTensor:
+    """Single-batch loader for pre-normalized NHWC float arrays.
+
+    TPU-native analogue of the reference's torch BCHW LoadTensor
+    (loaders.py:480-546): accepts a (B, H, W, 3) or (H, W, 3) float array in
+    RGB 0-1, validates stride divisibility, rescales 0-255 inputs with a
+    warning. The predictor feeds it to the network without letterboxing.
+    """
+
+    def __init__(self, im0, stride: int = 32):
+        im0 = np.asarray(im0)
+        if im0.ndim == 3:
+            im0 = im0[None]
+        if im0.ndim != 4 or im0.shape[-1] != 3:
+            raise ValueError(
+                f"tensor sources must be (B, H, W, 3) NHWC float arrays; got shape {im0.shape}"
+            )
+        if im0.shape[1] % stride or im0.shape[2] % stride:
+            raise ValueError(
+                f"tensor source H/W must be divisible by stride {stride}; got {im0.shape[1:3]}"
+            )
+        if im0.max() > 1.0 + np.finfo(np.float32).eps:
+            LOGGER.warning(
+                f"tensor inputs should be normalized 0.0-1.0 but max value is {im0.max():.3g}; dividing by 255"
+            )
+            im0 = im0.astype(np.float32) / 255.0
+        self.im0 = im0.astype(np.float32)
+        self.bs = im0.shape[0]
+        self.mode = "image"
+        self.paths = [f"image{i}.jpg" for i in range(self.bs)]
+
+    def __len__(self):
+        return 1
+
+    def __iter__(self):
+        self.count = 0
+        return self
+
+    def __next__(self):
+        if self.count == 1:
+            raise StopIteration
+        self.count += 1
+        return self.paths, self.im0, [""] * self.bs
 
 
 class LoadPilAndNumpy:

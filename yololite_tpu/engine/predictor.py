@@ -205,8 +205,33 @@ class DetectionPredictor:
         profilers = (Profile(), Profile(), Profile())
         batch_size = int(self.args.batch)
         with self._lock:
+            is_tensor = getattr(getattr(self.dataset, "source_type", None), "tensor", False)
             for paths, im0s, infos in Prefetcher(self.dataset, depth=2):
                 n = len(im0s)
+                if is_tensor:
+                    # pre-normalized NHWC float batch: no letterbox, no quantize-calibration
+                    im = np.asarray(im0s, np.float32)
+                    orig = [np.ascontiguousarray((np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)[..., ::-1])
+                            for a in im]  # BGR uint8 for Results
+                    with profilers[0]:
+                        if n < batch_size:
+                            im = np.concatenate([im, np.zeros((batch_size - n, *im.shape[1:]), im.dtype)])
+                    with profilers[1]:
+                        dets = self._infer(self.params, self.state, self._put(im))
+                        dets = np.asarray(jax.block_until_ready(dets))
+                    with profilers[2]:
+                        results = self.postprocess(dets[:n], im.shape[1:3], orig, paths)
+                    for i, result in enumerate(results):
+                        self.seen += 1
+                        result.speed = {
+                            "preprocess": profilers[0].dt * 1e3 / n,
+                            "inference": profilers[1].dt * 1e3 / n,
+                            "postprocess": profilers[2].dt * 1e3 / n,
+                        }
+                        if self.args.verbose:
+                            LOGGER.info(f"{infos[i]}{result.verbose()}{profilers[1].dt * 1e3 / n:.1f}ms")
+                        yield result
+                    continue
                 self._maybe_quantize(im0s)
                 same_shape = len({im.shape for im in im0s}) == 1
                 with profilers[0]:

@@ -89,6 +89,37 @@ def _walk_module(obj, prefix="") -> Dict[str, np.ndarray]:
     return out
 
 
+def _unwrap_ensemble(net, path):
+    """Unwrap a reference `Ensemble` (nn.ModuleList of models, tasks.py:448-497).
+
+    `attempt_load_weights` returns ensemble[-1] for a single entry; for multiple
+    entries the reference averages forwards — true multi-model voting is out of
+    scope here, so we take the last member and warn (the reference does the same
+    for single-model ensembles, which is the only layout it ships).
+    """
+    d = getattr(net, "__dict__", {})
+    mods = d.get("_modules") or {}
+    own_params = d.get("_parameters") or {}
+    if mods and not own_params and all(str(k).isdigit() for k in mods):
+        members = [m for m in mods.values() if m is not None]
+        if not members:
+            raise ValueError(f"checkpoint {path}: empty Ensemble")
+        if len(members) > 1:
+            LOGGER.warning(
+                f"checkpoint {path}: Ensemble of {len(members)} models; "
+                "multi-model voting is not supported — using the last member"
+            )
+        return members[-1]
+    return net
+
+
+def _sd_is_fused(sd: Dict[str, np.ndarray]) -> bool:
+    """True if the state_dict has folded BN (conv bias present, no bn entries)."""
+    has_bn = any(".bn." in f".{k}" for k in sd)
+    has_conv_bias = any(k.endswith("conv.bias") for k in sd)
+    return has_conv_bias and not has_bn
+
+
 def read_pt_checkpoint(path) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
     """Read a reference .pt checkpoint -> (state_dict, meta).
 
@@ -101,6 +132,7 @@ def read_pt_checkpoint(path) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
     net = ckpt.get("ema") or ckpt.get("model")  # EMA preferred (reference tasks.py:503)
     if net is None:
         raise ValueError(f"checkpoint {path} has no 'model' or 'ema' entry")
+    net = _unwrap_ensemble(net, path)
     sd = _walk_module(net)
     # strip the outer DetectionModel 'model.' prefix
     sd = {k[len("model."):] if k.startswith("model.") else k: v for k, v in sd.items()}
@@ -131,29 +163,55 @@ def _navigate(tree: Dict, parts):
     return node
 
 
-def _set_nested(tree: Dict, parts, value, filled):
-    node = _navigate(tree, parts)
+def _set_nested(tree: Dict, parts, value, filled, strict=True):
+    try:
+        node = _navigate(tree, parts)
+    except KeyError:
+        if strict:
+            raise
+        return False
     leaf = parts[-1]
     if leaf not in node:
-        raise KeyError(f"path {'.'.join(parts)}: no leaf '{leaf}' (have {list(node)})")
+        if strict:
+            raise KeyError(f"path {'.'.join(parts)}: no leaf '{leaf}' (have {list(node)})")
+        return False
     expect = node[leaf]
     if tuple(expect.shape) != tuple(value.shape):
-        raise ValueError(f"shape mismatch at {'.'.join(parts)}: {expect.shape} vs {value.shape}")
+        if strict:
+            raise ValueError(f"shape mismatch at {'.'.join(parts)}: {expect.shape} vs {value.shape}")
+        return False  # intersect semantics (reference torch_utils.py:intersect_dicts)
     # copy=True: on CPU jnp.asarray may alias the numpy buffer, which can alias a
     # live torch tensor -- later in-place torch updates would leak into our tree
     node[leaf] = jnp.array(value, dtype=jnp.float32, copy=True)
     filled.add(tuple(parts))
+    return True
 
 
-def state_dict_to_pytree(sd: Dict[str, np.ndarray], model: DetectionModel) -> Tuple[Dict, Dict]:
-    """Map a torch state_dict (names relative to the Sequential) onto params/state trees."""
+def state_dict_to_pytree(sd: Dict[str, np.ndarray], model: DetectionModel, strict: bool = True) -> Tuple[Dict, Dict]:
+    """Map a torch state_dict (names relative to the Sequential) onto params/state trees.
+
+    Handles both the stock layout and fused-conv checkpoints (BN folded into the
+    conv, like ultralytics' model.fuse() output): a fused state_dict is mapped
+    onto a fuse_tree'd template so every leaf is accounted for.
+    """
     params, state = model.init(0)
     sd = {(k[len("model."):] if k.startswith("model.") else k): v for k, v in sd.items()}
-    return map_state_dict_into(sd, params, state)
+    if _sd_is_fused(sd):
+        from yololite_tpu.models.modules import fuse_tree
+
+        params, state = fuse_tree(params, state)
+    return map_state_dict_into(sd, params, state, strict=strict)
 
 
-def map_state_dict_into(sd: Dict[str, np.ndarray], params: Dict, state: Dict) -> Tuple[Dict, Dict]:
-    """Fill (params, state) trees from torch-named arrays; verifies full coverage."""
+def map_state_dict_into(sd: Dict[str, np.ndarray], params: Dict, state: Dict, strict: bool = True) -> Tuple[Dict, Dict]:
+    """Fill (params, state) trees from torch-named arrays.
+
+    strict=True verifies full leaf coverage and raises on any mismatch.
+    strict=False implements the reference's `intersect_dicts` transfer semantics
+    (tasks.py:197-210): shape-mismatched or unknown entries are skipped and the
+    un-transferred leaves keep their fresh-init values (used when fine-tuning a
+    checkpoint onto a dataset with a different class count).
+    """
     filled: set = set()
     for name, v in sd.items():
         parts = name.split(".")
@@ -161,30 +219,52 @@ def map_state_dict_into(sd: Dict[str, np.ndarray], params: Dict, state: Dict) ->
         if leaf == "num_batches_tracked" or "dfl" in parts:
             continue
         parent = parts[-2] if len(parts) > 1 else ""
+        # BN detection is template-based, not name-based: any parent node carrying a
+        # 'scale' leaf is a batchnorm (covers 'bn' and e.g. BNContrastiveHead's 'norm')
+        if parent != "bn" and leaf in ("weight", "bias", "running_mean", "running_var"):
+            try:
+                pnode = _navigate(params, parts)
+                if isinstance(pnode, dict) and "scale" in pnode:
+                    parent = "bn"
+            except KeyError:
+                pass
         if parent == "bn":
             if leaf == "weight":
-                _set_nested(params, parts[:-1] + ["scale"], v, filled)
+                _set_nested(params, parts[:-1] + ["scale"], v, filled, strict)
             elif leaf == "bias":
-                _set_nested(params, parts[:-1] + ["bias"], v, filled)
+                _set_nested(params, parts[:-1] + ["bias"], v, filled, strict)
             elif leaf == "running_mean":
-                _set_nested(state, parts[:-1] + ["mean"], v, filled)
+                _set_nested(state, parts[:-1] + ["mean"], v, filled, strict)
             elif leaf == "running_var":
-                _set_nested(state, parts[:-1] + ["var"], v, filled)
+                _set_nested(state, parts[:-1] + ["var"], v, filled, strict)
         elif leaf == "weight" and v.ndim == 4:
-            node = _navigate(params, parts)
+            try:
+                node = _navigate(params, parts)
+            except KeyError:
+                if strict:
+                    raise
+                continue
             if "wt" in node:  # transposed conv: (c_in, c_out, kh, kw) -> flipped HWIO
-                _set_nested(params, parts[:-1] + ["wt"], v[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy(), filled)
+                _set_nested(params, parts[:-1] + ["wt"], v[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy(), filled, strict)
             else:  # conv: OIHW -> HWIO
-                _set_nested(params, parts[:-1] + ["w"], v.transpose(2, 3, 1, 0), filled)
+                _set_nested(params, parts[:-1] + ["w"], v.transpose(2, 3, 1, 0), filled, strict)
         elif leaf == "weight" and v.ndim in (1, 2):  # Linear (torch orientation) / LayerNorm
-            _set_nested(params, parts[:-1] + ["weight"], v, filled)
+            _set_nested(params, parts[:-1] + ["weight"], v, filled, strict)
         elif leaf in ("in_proj_weight", "in_proj_bias"):  # nn.MultiheadAttention packed proj
-            _set_nested(params, parts, v, filled)
+            _set_nested(params, parts, v, filled, strict)
         elif leaf == "bias":
-            node = _navigate(params, parts)
-            _set_nested(params, parts[:-1] + ["b" if "b" in node else "bias"], v, filled)
+            try:
+                node = _navigate(params, parts)
+            except KeyError:
+                if strict:
+                    raise
+                continue
+            _set_nested(params, parts[:-1] + ["b" if "b" in node else "bias"], v, filled, strict)
         else:
-            LOGGER.warning(f"checkpoint import: skipping unrecognized entry '{name}' {v.shape}")
+            # generic fallback: a same-named leaf in the template (scalar side-params
+            # like ContrastiveHead.logit_scale)
+            if not _set_nested(params, parts, v, filled, strict=False):
+                LOGGER.warning(f"checkpoint import: skipping unrecognized entry '{name}' {v.shape}")
 
     # verify full coverage of param leaves
     missing = []
@@ -198,21 +278,30 @@ def map_state_dict_into(sd: Dict[str, np.ndarray], params: Dict, state: Dict) ->
 
     _check(params, ())
     _check(state, ())
-    if missing:
+    if missing and strict:
         raise ValueError(f"checkpoint import left {len(missing)} leaves unfilled, e.g. {missing[:5]}")
+    if not strict:
+        total = len(filled) + len(missing)
+        LOGGER.info(f"Transferred {len(filled)}/{total} items from pretrained weights")
     return params, state
 
 
 def load_pt(path, nc: Optional[int] = None) -> Tuple[DetectionModel, Dict, Dict, Dict]:
-    """Load a reference .pt checkpoint into (model, params, state, meta)."""
+    """Load a reference .pt checkpoint into (model, params, state, meta).
+
+    When `nc` differs from the checkpoint's class count (fine-tuning onto a new
+    dataset), the transfer switches to intersect semantics: shape-matching
+    leaves load, the class head keeps its fresh init (reference tasks.py:197-210).
+    """
     sd, meta = read_pt_checkpoint(path)
     scale = meta.get("scale") or "n"
     cfg = f"yolo11{scale}.yaml"
     model = DetectionModel(cfg, nc=nc or meta.get("nc"))
-    if meta.get("names"):
+    if meta.get("names") and len(meta["names"]) == model.nc:
         model.names = meta["names"]
     model.args = meta.get("args", {})
-    params, state = state_dict_to_pytree(sd, model)
+    strict = nc is None or meta.get("nc") in (None, nc)
+    params, state = state_dict_to_pytree(sd, model, strict=strict)
     return model, params, state, meta
 
 

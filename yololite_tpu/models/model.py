@@ -80,6 +80,13 @@ def _registry() -> Dict[str, Tuple[type, str]]:
         "AIFI": (T.AIFI, "aifi"),
         "TransformerBlock": (T.TransformerBlock, "ch"),
         "Proto": (Z.Proto, "ch"),
+        "Conv2": (Z.Conv2, "ch"),
+        "DWConvTranspose2d": (Z.DWConvTranspose2d, "ch"),
+        "MaxSigmoidAttnBlock": (Z.MaxSigmoidAttnBlock, "ch"),
+        "C2fAttn": (Z.C2fAttn, "repeat"),
+        "ImagePoolingAttn": (Z.ImagePoolingAttn, "imgpool"),
+        "ContrastiveHead": (Z.ContrastiveHead, "plain"),
+        "BNContrastiveHead": (Z.BNContrastiveHead, "plainch"),
     }
     return reg
 
@@ -172,6 +179,10 @@ def parse_spec(d: Dict, ch_in: int = 3, verbose: bool = False) -> Tuple[List[Row
             if kind == "repeat":
                 margs.insert(2, n_scaled)
                 n_scaled = 1
+            if name == "C2fAttn" and len(margs) > 4:
+                # embed-channel + head-count width scaling (reference tasks.py:597-601)
+                margs[3] = make_divisible(min(margs[3], max_channels // 2) * width, 8)
+                margs[4] = int(max(round(min(margs[4], max_channels // 2 // 32)) * width, 1) if margs[4] > 1 else margs[4])
             if name == "C3k2" and scale in "mlx":
                 # c3k flag is margs[3] ([c1, c2, n, c3k, ...])
                 if len(margs) > 3:
@@ -197,6 +208,11 @@ def parse_spec(d: Dict, ch_in: int = 3, verbose: bool = False) -> Tuple[List[Row
             c2 = 0
             sp = 0
             margs = [nc, in_ch]
+        elif kind == "imgpool":  # ImagePoolingAttn: ch list appended (reference tasks.py:640)
+            margs = [*args, [ch[x] for x in f]]
+            mod = cls(*margs)
+            c2 = 512  # output is the text embedding (ct, default 512; yaml passes only ec)
+            sp = spatial[f[0] if isinstance(f, (list, tuple)) else f]
         elif kind == "plainch":  # module(c1, *args): RepVGGDW / CBAM / ChannelAttention
             c2 = ch[prev]
             margs = [c2, *args]

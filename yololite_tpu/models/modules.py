@@ -216,6 +216,11 @@ def fuse_tree(params: Dict, state: Dict):
     if not isinstance(params, dict):
         return params, state
     if "conv" in params and "bn" in params and isinstance(params["conv"], dict) and "w" in params["conv"]:
+        if "cv2" in params:  # Conv2: fold the parallel 1x1 into the kxk center tap first
+            w = params["conv"]["w"]
+            kh, kw = w.shape[0], w.shape[1]
+            w = w.at[kh // 2, kw // 2].add(params["cv2"]["w"][0, 0])
+            params = {"conv": {"w": w}, "bn": params["bn"]}
         return Conv.fuse(params, state), {}
     new_p, new_s = {}, {}
     for k, v in params.items():
@@ -235,23 +240,22 @@ def fuse_tree(params: Dict, state: Dict):
 
 
 class Conv2d(Module):
-    """Plain Conv2d with bias (used as the final 1x1 in Detect branches)."""
+    """Plain Conv2d with optional bias (used as the final 1x1 in Detect branches)."""
 
-    def __init__(self, c1, c2, k=1, s=1, p=0, g=1):
+    def __init__(self, c1, c2, k=1, s=1, p=0, g=1, bias=True):
         self.c1, self.c2, self.k, self.s, self.p, self.g = c1, c2, k, s, p, g
+        self.has_bias = bias
 
     def init(self, key):
         fan_in = self.c1 // self.g * self.k * self.k
-        return (
-            {
-                "w": _kaiming_uniform(key, (self.k, self.k, self.c1 // self.g, self.c2), fan_in),
-                "b": _kaiming_uniform(key, (self.c2,), fan_in),
-            },
-            {},
-        )
+        params = {"w": _kaiming_uniform(key, (self.k, self.k, self.c1 // self.g, self.c2), fan_in)}
+        if self.has_bias:
+            params["b"] = _kaiming_uniform(key, (self.c2,), fan_in)
+        return params, {}
 
     def __call__(self, params, state, x, ctx, path=()):
-        return conv2d(x, params["w"], self.s, self.p, self.g) + params["b"].astype(x.dtype)
+        y = conv2d(x, params["w"], self.s, self.p, self.g)
+        return y + params["b"].astype(x.dtype) if self.has_bias else y
 
 
 class DWConv(Conv):

@@ -725,3 +725,226 @@ class C3f(_Composite):
         for i in range(self.n):
             ys.append(ml.apply_i(i, params["m"], state.get("m", {}), ys[-1], ctx, path + ("m",)))
         return self._apply("cv3", params, state, jnp.concatenate(ys, -1), ctx, path)
+
+
+class Conv2(Module):
+    """Conv with a parallel 1x1 branch sharing BN+act (RepConv-lite, reference conv.py:55-79).
+
+    fuse_tree folds the 1x1 into the kxk center tap, then folds BN (fuse_convs
+    semantics, reference conv.py:71-79).
+    """
+
+    def __init__(self, c1, c2, k=3, s=1, p=None, g=1, d=1, act=True):
+        self.c1, self.c2, self.k, self.s, self.g, self.d = c1, c2, k, s, g, d
+        self.p = autopad(k, p, d)
+        self.act = act
+        self.downsample = s
+
+    def init(self, key):
+        from yololite_tpu.models.modules import _kaiming_uniform
+
+        fan_in = self.c1 // self.g * self.k * self.k
+        params = {
+            "conv": {"w": _kaiming_uniform(key, (self.k, self.k, self.c1 // self.g, self.c2), fan_in)},
+            "cv2": {"w": _kaiming_uniform(key, (1, 1, self.c1 // self.g, self.c2), self.c1 // self.g)},
+            "bn": {"scale": jnp.ones(self.c2), "bias": jnp.zeros(self.c2)},
+        }
+        return params, {"bn": {"mean": jnp.zeros(self.c2), "var": jnp.ones(self.c2)}}
+
+    def __call__(self, params, state, x, ctx, path=()):
+        y = conv2d(x, params["conv"]["w"], self.s, self.p, self.g, self.d)
+        if "cv2" in params:  # unfused
+            y = y + conv2d(x, params["cv2"]["w"], self.s, 0, self.g, self.d)
+            y = batchnorm(params["bn"], state["bn"], y, ctx, path + ("bn",))
+        else:  # fused by fuse_tree: single conv + bias under the conv node
+            y = y + params["conv"]["b"].astype(y.dtype)
+        if self.act is True:
+            y = jax.nn.silu(y)
+        elif self.act == "relu":
+            y = jax.nn.relu(y)
+        return y
+
+
+class DWConvTranspose2d(Module):
+    """Depthwise transposed conv, groups = gcd(c1, c2) (reference conv.py:108-113).
+
+    Param 'wt': flipped HWIO blocks (kh, kw, c_in//g, c_out//g stacked g-major on
+    the last axis) so the fractionally-strided forward conv can use
+    feature_group_count directly.
+    """
+
+    def __init__(self, c1, c2, k=1, s=1, p1=0, p2=0):
+        assert p2 == 0, "output_padding unsupported"
+        self.c1, self.c2, self.k, self.s, self.p = c1, c2, k, s, p1
+        self.g = math.gcd(c1, c2)
+        self.downsample = 1 / s
+
+    def init(self, key):
+        from yololite_tpu.models.modules import _kaiming_uniform
+
+        fan_in = (self.c2 // self.g) * self.k * self.k
+        wt = _kaiming_uniform(key, (self.k, self.k, self.c1 // self.g, self.c2), fan_in)
+        return {"wt": wt}, {}
+
+    def __call__(self, params, state, x, ctx, path=()):
+        pad = self.k - 1 - self.p
+        return jax.lax.conv_general_dilated(
+            x, params["wt"].astype(x.dtype), window_strides=(1, 1),
+            padding=[(pad, pad), (pad, pad)], lhs_dilation=(self.s, self.s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=self.g,
+        )
+
+
+def _adaptive_max_pool(x, k):
+    """torch AdaptiveMaxPool2d((k, k)) on NHWC with static H, W."""
+    B, H, W, C = x.shape
+    rows = [(i * H // k, -(-(i + 1) * H // k)) for i in range(k)]
+    cols = [(j * W // k, -(-(j + 1) * W // k)) for j in range(k)]
+    out = [[jnp.max(x[:, r0:r1, c0:c1, :], axis=(1, 2)) for c0, c1 in cols] for r0, r1 in rows]
+    return jnp.stack([jnp.stack(r, axis=1) for r in out], axis=1)  # (B, k, k, C)
+
+
+class MaxSigmoidAttnBlock(_Composite):
+    """Guide-conditioned max-sigmoid spatial gate (reference block.py:407-439).
+
+    Input: [x (B,H,W,c1), guide (B,N,gc)].
+    """
+
+    def __init__(self, c1, c2, nh=1, ec=128, gc=512, scale=False):
+        from yololite_tpu.models.transformer import Linear
+
+        self.nh, self.hc = nh, c2 // nh
+        self.has_scale = scale
+        self.sub = {"gl": Linear(gc, ec), "proj_conv": Conv(c1, c2, 3, 1, act=False)}
+        if c1 != ec:
+            self.sub["ec"] = Conv(c1, ec, 1, act=False)
+
+    def init(self, key):
+        params, state = _Composite.init(self, key)
+        params["bias"] = jnp.zeros(self.nh)
+        if self.has_scale:
+            params["scale"] = jnp.ones((1, self.nh, 1, 1))
+        return params, state
+
+    def __call__(self, params, state, x, ctx, path=()):
+        x, guide = x
+        B, H, W, _ = x.shape
+        guide = self._apply("gl", params, state, guide, ctx, path)  # (B, N, ec)
+        guide = guide.reshape(B, -1, self.nh, self.hc)
+        embed = self._apply("ec", params, state, x, ctx, path) if "ec" in self.sub else x
+        embed = embed.reshape(B, H, W, self.nh, self.hc)
+        aw = jnp.einsum("bhwmc,bnmc->bhwmn", embed, guide).max(axis=-1)  # (B,H,W,nh)
+        aw = aw / (self.hc**0.5) + params["bias"].astype(aw.dtype)
+        aw = jax.nn.sigmoid(aw)
+        if self.has_scale:
+            aw = aw * params["scale"].reshape(1, 1, 1, self.nh).astype(aw.dtype)
+        y = self._apply("proj_conv", params, state, x, ctx, path).reshape(B, H, W, self.nh, self.hc)
+        return (y * aw[..., None]).reshape(B, H, W, self.nh * self.hc)
+
+
+class C2fAttn(_Composite):
+    """C2f with a guide-attention tail branch (reference block.py:442-467).
+
+    Input: [x, guide]."""
+
+    def __init__(self, c1, c2, n=1, ec=128, nh=1, gc=512, shortcut=False, g=1, e=0.5):
+        self.c = int(c2 * e)
+        self.n = n
+        self.sub = {
+            "cv1": Conv(c1, 2 * self.c, 1, 1),
+            "cv2": Conv((3 + n) * self.c, c2, 1),
+            "m": ModList([Bottleneck(self.c, self.c, shortcut, g, k=((3, 3), (3, 3)), e=1.0) for _ in range(n)]),
+            "attn": MaxSigmoidAttnBlock(self.c, self.c, gc=gc, ec=ec, nh=nh),
+        }
+
+    def __call__(self, params, state, x, ctx, path=()):
+        x, guide = x
+        y = self._apply("cv1", params, state, x, ctx, path)
+        ys = [y[..., : self.c], y[..., self.c :]]
+        ml: ModList = self.sub["m"]
+        for i in range(self.n):
+            ys.append(ml.apply_i(i, params["m"], state.get("m", {}), ys[-1], ctx, path + ("m",)))
+        ys.append(self._apply("attn", params, state, [ys[-1], guide], ctx, path))
+        return self._apply("cv2", params, state, jnp.concatenate(ys, -1), ctx, path)
+
+
+class ImagePoolingAttn(_Composite):
+    """Text embeddings attending over pooled image features (reference block.py:470-515).
+
+    Input: [*feats, text (B, N, ct)]."""
+
+    def __init__(self, ec=256, ch=(), ct=512, nh=8, k=3, scale=False):
+        from yololite_tpu.models.transformer import LayerNorm, Linear
+
+        self.ec, self.nh, self.nf, self.hc, self.k = ec, nh, len(ch), ec // nh, k
+        self.has_scale = scale
+        self.sub = {
+            "query": Seq(LayerNorm(ct), Linear(ct, ec)),
+            "key": Seq(LayerNorm(ec), Linear(ec, ec)),
+            "value": Seq(LayerNorm(ec), Linear(ec, ec)),
+            "proj": Linear(ec, ct),
+            "projections": ModList([Conv2d(c, ec, 1) for c in ch]),
+        }
+
+    def init(self, key):
+        params, state = _Composite.init(self, key)
+        if self.has_scale:
+            params["scale"] = jnp.zeros(1)
+        return params, state
+
+    def __call__(self, params, state, x, ctx, path=()):
+        *feats, text = x
+        assert len(feats) == self.nf
+        B = feats[0].shape[0]
+        pl: ModList = self.sub["projections"]
+        pooled = []
+        for i, f in enumerate(feats):
+            p = pl.apply_i(i, params["projections"], state.get("projections", {}), f, ctx, path + ("projections",))
+            pooled.append(_adaptive_max_pool(p, self.k).reshape(B, self.k * self.k, self.ec))
+        kv = jnp.concatenate(pooled, axis=1)  # (B, nf*k*k, ec)
+        q = self._apply("query", params, state, text, ctx, path).reshape(B, -1, self.nh, self.hc)
+        k = self._apply("key", params, state, kv, ctx, path).reshape(B, -1, self.nh, self.hc)
+        v = self._apply("value", params, state, kv, ctx, path).reshape(B, -1, self.nh, self.hc)
+        aw = jnp.einsum("bnmc,bkmc->bmnk", q, k) / (self.hc**0.5)
+        aw = jax.nn.softmax(aw, axis=-1)
+        out = jnp.einsum("bmnk,bkmc->bnmc", aw, v).reshape(B, -1, self.ec)
+        out = self._apply("proj", params, state, out, ctx, path)
+        scale = params["scale"].astype(out.dtype) if self.has_scale else 1.0
+        return out * scale + text
+
+
+class ContrastiveHead(Module):
+    """Region-text similarity logits (reference block.py:518-535). Input: [x, w]."""
+
+    def init(self, key):
+        return {"bias": jnp.full((1,), -10.0), "logit_scale": jnp.asarray(math.log(1 / 0.07))}, {}
+
+    def __call__(self, params, state, x, ctx, path=()):
+        x, w = x
+        # torch F.normalize clamps the norm at eps=1e-12
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)  # NHWC: channel last
+        w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
+        y = jnp.einsum("bhwc,bkc->bhwk", x, w)
+        return y * jnp.exp(params["logit_scale"]).astype(y.dtype) + params["bias"].astype(y.dtype)
+
+
+class BNContrastiveHead(Module):
+    """ContrastiveHead with BN on region features (reference block.py:538-556)."""
+
+    def __init__(self, embed_dims):
+        self.c = embed_dims
+
+    def init(self, key):
+        params = {
+            "norm": {"scale": jnp.ones(self.c), "bias": jnp.zeros(self.c)},
+            "bias": jnp.full((1,), -10.0),
+            "logit_scale": jnp.asarray(-1.0),
+        }
+        return params, {"norm": {"mean": jnp.zeros(self.c), "var": jnp.ones(self.c)}}
+
+    def __call__(self, params, state, x, ctx, path=()):
+        x, w = x
+        x = batchnorm(params["norm"], state["norm"], x, ctx, path + ("norm",))
+        w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
+        y = jnp.einsum("bhwc,bkc->bhwk", x, w)
+        return y * jnp.exp(params["logit_scale"]).astype(y.dtype) + params["bias"].astype(y.dtype)

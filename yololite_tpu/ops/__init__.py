@@ -12,6 +12,7 @@ from yololite_tpu.ops.boxes import (
     ltwh2xyxy,
     make_anchors,
     scale_boxes_np,
+    scale_image_np,
     xywh2ltwh,
     xywh2xyxy,
     xywhn2xyxy,

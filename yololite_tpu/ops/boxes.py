@@ -68,6 +68,30 @@ def clip_boxes_np(boxes: np.ndarray, shape) -> np.ndarray:
     return boxes
 
 
+def scale_image_np(masks: np.ndarray, im0_shape, ratio_pad=None) -> np.ndarray:
+    """Un-letterbox an image/mask array back to the original shape (reference ops.py scale_image).
+
+    masks: (H, W[, C]) array in letterboxed space -> resized (h0, w0[, C]).
+    """
+    import cv2
+
+    im1_shape = masks.shape
+    if im1_shape[:2] == tuple(im0_shape[:2]):
+        return masks
+    if ratio_pad is None:
+        gain = min(im1_shape[0] / im0_shape[0], im1_shape[1] / im0_shape[1])
+        pad = (im1_shape[1] - im0_shape[1] * gain) / 2, (im1_shape[0] - im0_shape[0] * gain) / 2
+    else:
+        pad = ratio_pad[1]
+    top, left = int(pad[1]), int(pad[0])
+    bottom, right = int(im1_shape[0] - pad[1]), int(im1_shape[1] - pad[0])
+    masks = masks[top:bottom, left:right]
+    masks = cv2.resize(masks, (im0_shape[1], im0_shape[0]))
+    if masks.ndim == 2:
+        masks = masks[:, :, None]
+    return masks
+
+
 def scale_boxes_np(img1_shape, boxes, img0_shape, ratio_pad=None, padding=True, xywh=False):
     """Rescale boxes from letterboxed img1_shape back to original img0_shape.
 

@@ -33,3 +33,8 @@ def check_version(current: str, required: str) -> bool:
         return tuple(int("".join(c for c in x if c.isdigit()) or 0) for x in v.split("."))
 
     return parse(current) >= parse(required)
+
+
+def is_ascii(s) -> bool:
+    """True if the string is pure ASCII (reference checks.py is_ascii)."""
+    return all(ord(c) < 128 for c in str(s))

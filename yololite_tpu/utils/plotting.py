@@ -36,8 +36,26 @@ class Colors:
 colors = Colors()
 
 
+# Backgrounds the reference treats as "dark"/"light" when auto-picking label text
+# color (reference plotting.py:208-228).
+_DARK_BGS = {
+    (235, 219, 11), (243, 243, 243), (183, 223, 0), (221, 111, 255), (0, 237, 204),
+    (68, 243, 0), (255, 255, 0), (179, 255, 1), (11, 255, 162),
+}
+_LIGHT_BGS = {
+    (255, 42, 4), (79, 68, 255), (255, 0, 189), (255, 180, 0), (186, 0, 221),
+    (0, 192, 38), (255, 36, 125), (104, 0, 123), (108, 27, 255), (47, 109, 252),
+    (104, 31, 17),
+}
+
+
 class Annotator:
-    """cv2-based box/label drawing on a BGR uint8 image."""
+    """cv2-based box/label drawing on a BGR uint8 image.
+
+    Counterpart of reference plotting.py:151-693. Differences by design: cv2-only
+    (the reference switches to PIL for non-ASCII labels; we always draw with cv2),
+    and the pose-keypoint skeleton table is omitted (detection-only scope).
+    """
 
     def __init__(self, im: np.ndarray, line_width: Optional[int] = None, font_size: Optional[float] = None):
         import cv2
@@ -45,25 +63,124 @@ class Annotator:
         self.cv2 = cv2
         self.im = np.ascontiguousarray(im)
         self.lw = line_width or max(round(sum(im.shape[:2]) / 2 * 0.003), 2)
-        self.fs = font_size or max(self.lw - 1, 1) * 0.4
+        self.tf = max(self.lw - 1, 1)  # font thickness
+        self.fs = font_size or self.tf * 0.4  # font scale (getTextSize/putText)
 
-    def box_label(self, box, label=None, color=(128, 128, 128), txt_color=(255, 255, 255)):
+    def get_txt_color(self, color=(128, 128, 128), txt_color=(255, 255, 255)):
+        """Pick a readable text color for the given label background."""
+        if color in _DARK_BGS:
+            return 104, 31, 17
+        if color in _LIGHT_BGS:
+            return 255, 255, 255
+        return txt_color
+
+    def box_label(self, box, label=None, color=(128, 128, 128), txt_color=(255, 255, 255), rotated=False):
+        """Draw a (possibly rotated) box with an optional filled label."""
         cv2 = self.cv2
-        p1, p2 = (int(box[0]), int(box[1])), (int(box[2]), int(box[3]))
-        cv2.rectangle(self.im, p1, p2, color, thickness=self.lw, lineType=cv2.LINE_AA)
+        txt_color = self.get_txt_color(color, txt_color)
+        if rotated:
+            pts = np.asarray(box, dtype=int)
+            p1 = (int(pts[0][0]), int(pts[0][1]))
+            cv2.polylines(self.im, [pts], True, color, self.lw)
+        else:
+            p1, p2 = (int(box[0]), int(box[1])), (int(box[2]), int(box[3]))
+            cv2.rectangle(self.im, p1, p2, color, thickness=self.lw, lineType=cv2.LINE_AA)
         if label:
-            tf = max(self.lw - 1, 1)
-            w, h = cv2.getTextSize(label, 0, fontScale=self.fs, thickness=tf)[0]
-            outside = p1[1] - h >= 3
-            p2t = (p1[0] + w, p1[1] - h - 3 if outside else p1[1] + h + 3)
+            w, h = cv2.getTextSize(label, 0, fontScale=self.fs, thickness=self.tf)[0]
+            h += 3
+            outside = p1[1] >= h
+            if p1[0] > self.im.shape[1] - w:  # clamp so the label stays on-image
+                p1 = (self.im.shape[1] - w, p1[1])
+            p2t = (p1[0] + w, p1[1] - h if outside else p1[1] + h)
             cv2.rectangle(self.im, p1, p2t, color, -1, cv2.LINE_AA)
             cv2.putText(
-                self.im, label, (p1[0], p1[1] - 2 if outside else p1[1] + h + 2),
-                0, self.fs, txt_color, thickness=tf, lineType=cv2.LINE_AA,
+                self.im, label, (p1[0], p1[1] - 2 if outside else p1[1] + h - 1),
+                0, self.fs, txt_color, thickness=self.tf, lineType=cv2.LINE_AA,
             )
+
+    def circle_label(self, box, label="", color=(128, 128, 128), txt_color=(255, 255, 255), margin=2):
+        """Label on a filled circle centered in the box (reference plotting.py:240)."""
+        cv2 = self.cv2
+        if len(label) > 3:
+            label = label[:3]  # circle fits at most 3 characters
+        cx, cy = int((box[0] + box[2]) / 2), int((box[1] + box[3]) / 2)
+        (tw, th), _ = cv2.getTextSize(str(label), cv2.FONT_HERSHEY_SIMPLEX, self.fs, self.tf)
+        radius = int(((tw**2 + th**2) ** 0.5) / 2) + margin
+        cv2.circle(self.im, (cx, cy), radius, color, -1)
+        cv2.putText(self.im, str(label), (cx - tw // 2, cy + th // 2), cv2.FONT_HERSHEY_SIMPLEX,
+                    self.fs, self.get_txt_color(color, txt_color), self.tf, lineType=cv2.LINE_AA)
+
+    def text_label(self, box, label="", color=(128, 128, 128), txt_color=(255, 255, 255), margin=5):
+        """Label on a filled rectangle centered in the box (reference plotting.py:281)."""
+        cv2 = self.cv2
+        cx, cy = int((box[0] + box[2]) / 2), int((box[1] + box[3]) / 2)
+        (tw, th), _ = cv2.getTextSize(label, cv2.FONT_HERSHEY_SIMPLEX, self.fs, self.tf)
+        tx, ty = cx - tw // 2, cy + th // 2
+        cv2.rectangle(self.im, (tx - margin, ty - th - margin), (tx + tw + margin, ty + margin), color, -1)
+        cv2.putText(self.im, label, (tx, ty), cv2.FONT_HERSHEY_SIMPLEX, self.fs,
+                    self.get_txt_color(color, txt_color), self.tf, lineType=cv2.LINE_AA)
+
+    def text(self, xy, text, txt_color=(255, 255, 255), box_style=False):
+        """Free text at xy, optionally on a filled background (reference plotting.py:379)."""
+        cv2 = self.cv2
+        xy = (int(xy[0]), int(xy[1]))
+        if box_style:
+            w, h = cv2.getTextSize(text, 0, fontScale=self.fs, thickness=self.tf)[0]
+            h += 3
+            outside = xy[1] >= h
+            cv2.rectangle(self.im, xy, (xy[0] + w, xy[1] - h if outside else xy[1] + h), txt_color, -1, cv2.LINE_AA)
+            txt_color = (255, 255, 255)
+        cv2.putText(self.im, text, xy, 0, self.fs, txt_color, thickness=self.tf, lineType=cv2.LINE_AA)
+
+    def rectangle(self, xy, fill=None, outline=None, width=1):
+        """Plain rectangle; xy = (x1, y1, x2, y2)."""
+        p1, p2 = (int(xy[0]), int(xy[1])), (int(xy[2]), int(xy[3]))
+        if fill is not None:
+            self.cv2.rectangle(self.im, p1, p2, fill, -1)
+        if outline is not None:
+            self.cv2.rectangle(self.im, p1, p2, outline, width)
+
+    def fromarray(self, im):
+        """Replace the working image."""
+        self.im = np.ascontiguousarray(im)
 
     def result(self) -> np.ndarray:
         return self.im
+
+    def show(self, title=None):
+        """Display the annotated image (BGR -> RGB) via PIL."""
+        from PIL import Image
+
+        Image.fromarray(self.im[..., ::-1]).show(title=title)
+
+    def save(self, filename="image.jpg"):
+        self.cv2.imwrite(str(filename), self.im)
+
+    @staticmethod
+    def get_bbox_dimension(bbox):
+        """(width, height, area) of an xyxy box (reference plotting.py:433)."""
+        w, h = bbox[2] - bbox[0], bbox[3] - bbox[1]
+        return w, h, w * h
+
+    def draw_region(self, reg_pts, color=(0, 255, 0), thickness=5):
+        """Closed polygon region with corner dots (reference plotting.py:448)."""
+        pts = np.asarray(reg_pts, dtype=np.int32)
+        self.cv2.polylines(self.im, [pts], isClosed=True, color=color, thickness=thickness)
+        for x, y in pts:
+            self.cv2.circle(self.im, (int(x), int(y)), thickness * 2, color, -1)
+
+    def draw_centroid_and_tracks(self, track, color=(255, 0, 255), track_thickness=2):
+        """Polyline trail + centroid dot for a track (reference plotting.py:463)."""
+        pts = np.hstack(track).astype(np.int32).reshape(-1, 1, 2)
+        self.cv2.polylines(self.im, [pts], isClosed=False, color=color, thickness=track_thickness)
+        self.cv2.circle(self.im, (int(track[-1][0]), int(track[-1][1])), track_thickness * 2, color, -1)
+
+    def visioneye(self, box, center_point, color=(235, 219, 11), pin_color=(255, 0, 255)):
+        """Eye-to-object mapping line (reference plotting.py:678)."""
+        cx, cy = int((box[0] + box[2]) / 2), int((box[1] + box[3]) / 2)
+        self.cv2.circle(self.im, center_point, self.tf * 2, pin_color, -1)
+        self.cv2.circle(self.im, (cx, cy), self.tf * 2, color, -1)
+        self.cv2.line(self.im, center_point, (cx, cy), color, self.tf)
 
 
 def plot_images(images: np.ndarray, batch_idx, cls, bboxes, paths=None, fname="batch.jpg", names=None,
