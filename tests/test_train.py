@@ -265,3 +265,40 @@ def test_nadam_mu_product_resume():
     for _ in range(7):
         params, st = optim.nadam_update(params, g, st, labels, lr_vec, 0.9, 0.0)
     np.testing.assert_allclose(float(st.extra), optim.nadam_mu_product(7, 0.9), rtol=1e-6)
+
+
+def test_early_stopping_patience():
+    from yololite_tpu.engine.trainer import EarlyStopping
+
+    es = EarlyStopping(patience=3)
+    assert es(0, 0.5) is False
+    assert es(1, 0.4) is False          # no improvement, delta 1
+    assert es(2, 0.45) is False         # delta 2 -> possible_stop
+    assert es.possible_stop
+    assert es(3, 0.3) is True           # delta 3 == patience -> stop
+    # improvement resets the window
+    es2 = EarlyStopping(patience=2)
+    es2(0, 0.1); es2(1, 0.2); es2(2, 0.3)
+    assert es2(3, 0.25) is False and es2(4, 0.25) is True
+    # patience=0 -> infinite (reference torch_utils.py:424)
+    es3 = EarlyStopping(patience=0)
+    assert not any(es3(e, 0.0 if e else 1.0) for e in range(200))
+
+
+def test_strip_optimizer(tmp_path):
+    import numpy as np
+
+    from yololite_tpu.models.checkpoint import load_native, save_native, strip_optimizer
+
+    params = {"0": {"conv": {"w": np.ones((3, 3, 3, 8), np.float32)}}}
+    state = {"model_state": {"0": {"bn": {"mean": np.zeros(8), "var": np.ones(8)}}},
+             "optimizer": {"mu": np.zeros(8)}}
+    meta = {"epoch": 7, "ema_updates": 123, "best_fitness": 0.5}
+    p = tmp_path / "last.npz"
+    save_native(p, params, state, meta)
+    out = strip_optimizer(p)
+    p2, s2, m2 = load_native(out)
+    assert m2["epoch"] == -1 and "ema_updates" not in m2
+    assert "optimizer" not in s2  # training state gone, model stats kept
+    assert "0" in s2
+    np.testing.assert_array_equal(np.asarray(p2["0"]["conv"]["w"]), params["0"]["conv"]["w"])

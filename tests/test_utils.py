@@ -238,3 +238,19 @@ def test_annotator_surface():
     assert a.get_txt_color((255, 255, 0)) == (104, 31, 17)
     assert a.get_txt_color((255, 42, 4)) == (255, 255, 255)
     assert a.get_txt_color((1, 2, 3), (9, 9, 9)) == (9, 9, 9)
+
+
+def test_get_latest_run(tmp_path):
+    import os
+    import time as _time
+
+    from yololite_tpu.utils import get_latest_run
+
+    assert get_latest_run(tmp_path) == ""
+    for name in ("train10", "train9"):  # create train10 FIRST: lexical != recency
+        d = tmp_path / name / "weights"
+        d.mkdir(parents=True)
+        (d / "last.npz").write_bytes(b"x")
+        _time.sleep(0.01)
+    latest = get_latest_run(tmp_path)
+    assert "train9" in str(latest), "must pick the most recent run by ctime, not name"

@@ -456,12 +456,11 @@ class DetectionTrainer:
             return
         last = Path(resume if isinstance(resume, (str, Path)) and Path(str(resume)).exists() else "")
         if not last or not str(last).endswith(".npz"):
-            from yololite_tpu.utils import increment_path  # locate latest run
+            from yololite_tpu.utils import get_latest_run
 
-            runs = sorted(Path("runs/detect").glob("*/weights/last.npz"))
-            if not runs:
+            last = get_latest_run()
+            if not last:
                 raise FileNotFoundError("resume requested but no last.npz found")
-            last = runs[-1]
         params, state, meta = load_native(last)
         args = meta.get("args", {})
         args["resume"] = True

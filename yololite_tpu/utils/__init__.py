@@ -129,6 +129,15 @@ def yaml_save(file, data):
         yaml.safe_dump(clean, f, sort_keys=False, allow_unicode=True)
 
 
+def get_latest_run(search_dir="runs/detect"):
+    """Path to the most recent 'last.npz' under search_dir, or "" (reference files.py:39-42).
+
+    Ordered by ctime, not name — lexical sort would pick train9 over train10.
+    """
+    runs = list(Path(search_dir).glob("*/weights/last.npz"))
+    return max(runs, key=lambda p: p.stat().st_ctime) if runs else ""
+
+
 def increment_path(path, exist_ok=False, sep="", mkdir=False):
     """Return an incremented path, e.g. runs/exp -> runs/exp2, runs/exp3, ..."""
     path = Path(path)
