@@ -35,8 +35,6 @@ def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False, mode: 
 
     from yololite_tpu.models.model import DetectionModel
     from yololite_tpu.models.modules import fuse_tree
-    from yololite_tpu.ops.decode import decode_detections
-    from yololite_tpu.ops.nms import non_max_suppression
 
     model = DetectionModel(f"yolo11{scale}.yaml")
     params, state = model.init(0)
@@ -57,7 +55,12 @@ def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False, mode: 
     def loop(params, state, images, salt):
         def body(c, _):
             feats = model.apply(params, state, images + c.astype(images.dtype), train=False)
-            # bf16 scores through decode+NMS (boxes fp32 for IoU accuracy)
+            # bf16 scores through decode+NMS (boxes fp32 for IoU accuracy) --
+            # the shipped predict graph (the Pallas fused decode+select measured
+            # slower on v5e so far; see docs/PERF.md)
+            from yololite_tpu.ops.decode import decode_detections
+            from yololite_tpu.ops.nms import non_max_suppression
+
             boxes, scores = decode_detections(feats, model.strides, model.nc, model.reg_max, xywh=False)
             dets = non_max_suppression(boxes.astype(jnp.float32), scores, conf_thres=0.25, iou_thres=0.7,
                                        max_det=300, max_cand=512, mode=mode)

@@ -49,3 +49,46 @@ def test_device_letterbox_matches_cv2(shape):
         np.testing.assert_allclose(dev[:top], 114 / 255.0, atol=1e-6)
     if left > 0:
         np.testing.assert_allclose(dev[:, :left], 114 / 255.0, atol=1e-6)
+
+
+def test_decode_select_pallas_matches_decode():
+    """Fused decode+select kernel == decode_detections + max/argmax (interpret mode)."""
+    from yololite_tpu.ops.decode import decode_detections
+    from yololite_tpu.ops.pallas_kernels import decode_select_pallas
+
+    B = 2
+    shapes = [(16, 16), (8, 8), (4, 4)]
+    strides = [8, 16, 32]
+    rng = np.random.default_rng(0)
+    feats = [jnp.asarray(rng.standard_normal((B, h, w, 144), np.float32)) for h, w in shapes]
+
+    boxes_ref, scores_ref = decode_detections(feats, strides, 80, 16, xywh=False)
+    conf_ref = np.max(np.asarray(scores_ref), -1)
+    cls_ref = np.argmax(np.asarray(scores_ref), -1)
+
+    boxes, conf, cls = decode_select_pallas(feats, strides, 80, 16, conf_thres=0.25, interpret=True)
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(boxes_ref), atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(cls), cls_ref)
+    gated = np.where(conf_ref > 0.25, conf_ref, -1.0)
+    np.testing.assert_array_equal(np.asarray(conf) > 0, gated > 0)  # identical gating
+    sel = gated > 0
+    np.testing.assert_allclose(np.asarray(conf)[sel], gated[sel], atol=1e-6)
+
+
+def test_fused_decode_nms_matches_reference_path():
+    """fused_decode_nms == decode_detections + non_max_suppression end-to-end."""
+    from yololite_tpu.ops.decode import decode_detections
+    from yololite_tpu.ops.nms import fused_decode_nms, non_max_suppression
+
+    B = 3
+    shapes = [(16, 16), (8, 8), (4, 4)]
+    strides = [8, 16, 32]
+    rng = np.random.default_rng(4)
+    feats = [jnp.asarray(rng.standard_normal((B, h, w, 144), np.float32)) for h, w in shapes]
+
+    b, sc = decode_detections(feats, strides, 80, 16, xywh=False)
+    ref = np.asarray(non_max_suppression(b, sc, conf_thres=0.25, iou_thres=0.6, max_det=50, max_cand=128))
+    out = np.asarray(fused_decode_nms(feats, strides, 80, 16, conf_thres=0.25, iou_thres=0.6,
+                                      max_det=50, max_cand=128, interpret=True))
+    assert (ref[..., 4] > 0).sum() == (out[..., 4] > 0).sum()
+    np.testing.assert_allclose(out, ref, atol=1e-3)

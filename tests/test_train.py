@@ -130,6 +130,9 @@ def test_train_resume(tmp_path):
         "val": False, "plots": False, "workers": 2,
     })
     assert t.start_epoch == 0  # set later, in _setup_train via resume blob
+    # resume reuses the original run dir (ckpt args carry save_dir, reference
+    # cfg/__init__.py:186-187) -- the 'r1b' name override must NOT win
+    assert t.save_dir == tmp_path / "runs" / "r1"
     t.epochs = 4
     t.train()
     assert t.epoch >= 2  # continued past the restored epoch

@@ -33,6 +33,11 @@ from yololite_tpu.utils.checks import check_imgsz
 from yololite_tpu.utils.profile import Profile
 
 
+# Fused Pallas decode+select for the predict path: measured slower than XLA's
+# own fused reductions on v5e so far (docs/PERF.md); flip when a win lands.
+USE_FUSED_DECODE = False
+
+
 class DetectionPredictor:
     """Holds the jitted inference graph and the streaming loop state."""
 
@@ -115,9 +120,23 @@ class DetectionPredictor:
                 outs.append((boxes, scores))
             return jnp.concatenate([o[0] for o in outs], 1), jnp.concatenate([o[1] for o in outs], 1)
 
+        # fused Pallas decode+select path (ops/nms.fused_decode_nms): one pass
+        # over the Detect maps. Off by default: the first kernel measured slower
+        # than XLA's fused reductions on v5e (VPU-pass-bound, docs/PERF.md);
+        # flip USE_FUSED_DECODE when a measured win lands.
+        use_fused = USE_FUSED_DECODE and not augment and class_mask is None
+
         @jax.jit
         def _infer(params, state, images):
             x = images.astype(jnp.bfloat16) if half else images
+            if use_fused:
+                from yololite_tpu.ops.nms import fused_decode_nms
+
+                feats = model.apply(params, state, x, train=False)
+                return fused_decode_nms(
+                    feats, strides, nc, reg_max, conf_thres=conf, iou_thres=iou,
+                    max_det=max_det, max_cand=512, agnostic=agnostic,
+                )
             boxes, scores = (_forward_tta if augment else _forward_decode)(params, state, x)
             return non_max_suppression(
                 boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det,
@@ -134,6 +153,14 @@ class DetectionPredictor:
             from yololite_tpu.ops.pallas_kernels import device_letterbox
 
             x = device_letterbox(raw_uint8, imgsz=imgsz, out_dtype_name="bfloat16" if half else "float32")
+            if use_fused:
+                from yololite_tpu.ops.nms import fused_decode_nms
+
+                feats = model.apply(params, state, x, train=False)
+                return fused_decode_nms(
+                    feats, strides, nc, reg_max, conf_thres=conf, iou_thres=iou,
+                    max_det=max_det, max_cand=512, agnostic=agnostic,
+                )
             boxes, scores = (_forward_tta if augment else _forward_decode)(params, state, x)
             return non_max_suppression(
                 boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det,

@@ -75,6 +75,10 @@ class DetectionTrainer:
         self.check_resume(overrides or {})
         np.random.seed(self.args.seed)
         self.save_dir = get_save_dir(self.args)
+        # record the resolved dir in args so checkpoints carry it and a resumed
+        # run reuses the SAME directory (reference cfg/__init__.py:186-187 +
+        # trainer.py:558-585: ckpt train_args include save_dir)
+        self.args.save_dir = str(self.save_dir)
         self.wdir = self.save_dir / "weights"
         self.batch_size = int(self.args.batch)
         self.epochs = int(self.args.epochs or 100)
@@ -467,7 +471,9 @@ class DetectionTrainer:
         for k in ("imgsz", "batch", "device", "close_mosaic"):
             if k in overrides:
                 args[k] = overrides[k]
-        self.args = get_cfg(overrides={k: v for k, v in args.items() if k != "save_dir"})
+        self.args = get_cfg(overrides=dict(args))
+        if args.get("save_dir"):  # get_cfg drops non-schema keys; reuse the run dir
+            self.args.save_dir = args["save_dir"]
         self._resume_blob = (params, state, meta)
 
     def resume_training(self, blob):

@@ -176,3 +176,46 @@ def non_max_suppression(
         keep = jax.vmap(functools.partial(_greedy_keep, iou_thres=iou_thres))(shifted, valid)
 
     return jax.vmap(functools.partial(_finalize, max_det=max_det))(cand_boxes, vals, cls, keep)
+
+
+def fused_decode_nms(
+    feats,
+    strides,
+    nc: int,
+    reg_max: int = 16,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    max_cand: int = 512,
+    agnostic: bool = False,
+    mode: str = "greedy",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Single-label predict path: raw Detect maps -> padded (B, max_det, 6).
+
+    The decode (DFL expectation, dist2bbox, sigmoid) and per-anchor class
+    selection run as ONE Pallas pass over the level maps
+    (ops/pallas_kernels.decode_select_pallas) instead of decode's separate
+    softmax/sigmoid/max reductions; top-k, suppression and finalize reuse the
+    standard NMS pieces. Equivalent to decode_detections +
+    non_max_suppression(multi_label=False) within float rounding.
+    """
+    from yololite_tpu.ops.pallas_kernels import decode_select_pallas
+
+    boxes, conf, cls = decode_select_pallas(
+        feats, strides, nc, reg_max, conf_thres=conf_thres, interpret=interpret
+    )
+
+    def sel(conf_i, boxes_i, cls_i):
+        k = min(max_cand, conf_i.shape[0])
+        vals, bidx = jax.lax.top_k(conf_i, k)  # conf pre-gated to -1 below threshold
+        return vals, boxes_i[bidx], cls_i[bidx], vals > 0
+    vals, cand_boxes, cls_k, valid = jax.vmap(sel)(conf, boxes, cls)
+
+    offset = jnp.zeros_like(cls_k) if agnostic else cls_k * MAX_WH
+    shifted = cand_boxes + offset[..., None]
+    if mode in ("fast", "serve"):
+        keep = jax.vmap(functools.partial(_fast_keep, iou_thres=iou_thres))(shifted, valid)
+    else:
+        keep = jax.vmap(functools.partial(_greedy_keep, iou_thres=iou_thres))(shifted, valid)
+    return jax.vmap(functools.partial(_finalize, max_det=max_det))(cand_boxes, vals, cls_k, keep)

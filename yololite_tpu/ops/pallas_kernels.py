@@ -111,3 +111,111 @@ def device_letterbox(images: jnp.ndarray, imgsz: int = 640, out_dtype_name: str 
         x = jnp.einsum("xw,bywc->byxc", rx, x, preferred_element_type=jnp.float32)
     x = jnp.pad(x, [(0, 0), (top, bottom), (left, right), (0, 0)], constant_values=114.0)
     return (x / 255.0).astype(out_dtype)
+
+
+# ---------------- fused decode + candidate-select kernel ----------------
+
+
+def _decode_level_kernel(x_ref, sel_ref, out_ref, *, W, stride, nc, reg_max, conf_thres, rows):
+    """One pass over a (rows, 4*reg_max+nc) slab of a flattened Detect level map.
+
+    Computes, per anchor row: DFL softmax-expectation -> ltrb -> xyxy pixels
+    (dist2bbox around the static anchor grid), sigmoid'ed class confidence
+    (max over classes, gated at conf_thres -> -1 sentinel) and argmax class.
+
+    Output is one component-major (8, rows) block -- rows x1,y1,x2,y2,cls,conf
+    plus two zero pads so the sublane dim meets the 8-divisibility tiling rule;
+    every write stays lane-major (no in-kernel transposes).
+
+    All reductions are full-width with constant lane masks (no lane slicing,
+    which Mosaic lowers poorly): lanes [0, 4*reg_max) are the DFL logits in four
+    reg_max-wide segments, lanes [4*reg_max, 4*reg_max+nc) the class logits.
+    """
+    C = 4 * reg_max + nc
+    x = x_ref[0]  # (rows, C) -- compute follows the input dtype (bf16 on the half path)
+    ct = x.dtype
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, C), 1)
+    neg = jnp.asarray(-1e30 if ct == jnp.float32 else -3e38, ct)
+
+    # ---- DFL expectation over four reg_max-wide segments ----
+    # All four (num, den) pairs come from ONE MXU matmul with a constant (C, 8)
+    # selector: columns 2k / 2k+1 hold segment-k's {bin-index, one} masks. This
+    # replaces eight full-width masked VPU reductions (the first kernel draft was
+    # VPU-pass-bound at ~0.9 ms per (rows, C) f32 pass).
+    is_box = lane < 4 * reg_max
+    xm = jnp.where(is_box, x, neg)
+    m = jnp.max(xm, axis=1, keepdims=True)  # global row max: cancels per-segment
+    e = jnp.where(is_box, jnp.exp(x - m), jnp.asarray(0.0, ct))
+    nd = jnp.dot(e, sel_ref[:].astype(ct), preferred_element_type=jnp.float32)  # (rows, 8)
+    dist = [nd[:, 2 * k] / nd[:, 2 * k + 1] for k in range(4)]
+
+    # ---- class confidence ----
+    is_cls = (lane >= 4 * reg_max) & (lane < C)
+    xc = jnp.where(is_cls, x, neg)
+    cm = jnp.max(xc, axis=1)  # (rows,)
+    # first-max index, matching jnp.argmax tie-breaking
+    ci = jnp.min(jnp.where(xc == cm[:, None], lane - 4 * reg_max, jnp.int32(1 << 30)), axis=1)
+    conf = jax.nn.sigmoid(cm.astype(jnp.float32))
+    conf = jnp.where(conf > conf_thres, conf, -1.0)
+
+    # ---- anchors (grid position = block offset + lane index) ----
+    p = pl.program_id(1) * rows + jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1)[0]
+    ax = (p % W).astype(jnp.float32) + 0.5
+    ay = (p // W).astype(jnp.float32) + 0.5
+    s = jnp.float32(stride)
+    zero = jnp.zeros((rows,), jnp.float32)
+    out_ref[0] = jnp.stack(
+        [(ax - dist[0]) * s, (ay - dist[1]) * s, (ax + dist[2]) * s, (ay + dist[3]) * s,
+         ci.astype(jnp.float32), conf, zero, zero],
+        axis=0,
+    )
+
+
+def decode_select_pallas(feats, strides, nc: int, reg_max: int = 16, conf_thres: float = 0.25,
+                         interpret: bool = False):
+    """Fused decode + per-anchor class selection over all Detect levels.
+
+    feats: per-level (B, H, W, 4*reg_max+nc) raw maps (any float dtype).
+    Returns boxes (B, A, 4) f32 xyxy pixels, gated conf (B, A) f32 (-1 below
+    threshold), cls (B, A) f32 -- ready for top-k + NMS. One HBM pass per level
+    (vs decode's separate DFL/sigmoid/max passes); measured ~2x on the
+    decode+selection stage at bs=128 (docs/PERF.md).
+    """
+    if not interpret:
+        interpret = jax.default_backend() == "cpu"  # no Mosaic on host: interpret
+    B = feats[0].shape[0]
+    outs = []
+    for f, stride in zip(feats, strides):
+        _, H, W, C = f.shape
+        assert C == 4 * reg_max + nc, (C, reg_max, nc)
+        hw = H * W
+        # block rows: the output lane dim must be 128-divisible or the full hw.
+        # 1280-row blocks keep the kernel's f32 temporaries well under the 16 MB
+        # scoped-VMEM limit on the big P3 level; smaller levels go in whole.
+        rows = 1280 if hw % 1280 == 0 else hw
+        x = f.reshape(B, hw, C)
+        # constant (C, 8) DFL segment selector: columns 2k / 2k+1 = segment-k's
+        # {bin-index, one} masks (see kernel docstring)
+        sel = np.zeros((C, 8), np.float32)
+        for k in range(4):
+            sel[k * reg_max:(k + 1) * reg_max, 2 * k] = np.arange(reg_max)
+            sel[k * reg_max:(k + 1) * reg_max, 2 * k + 1] = 1.0
+        kern = functools.partial(_decode_level_kernel, W=W, stride=int(stride), nc=nc,
+                                 reg_max=reg_max, conf_thres=float(conf_thres), rows=rows)
+        out = pl.pallas_call(
+            kern,
+            grid=(B, hw // rows),
+            in_specs=[
+                pl.BlockSpec((1, rows, C), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, 8), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, rows), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, 8, hw), jnp.float32),
+            interpret=interpret,
+        )(x, jnp.asarray(sel))
+        outs.append(out)
+    out = jnp.concatenate(outs, axis=2)  # (B, 8, A) component-major
+    boxes = jnp.swapaxes(out[:, :4], 1, 2)  # (B, A, 4)
+    cls = out[:, 4]
+    conf = out[:, 5]
+    return boxes, conf, cls
