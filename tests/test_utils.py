@@ -254,3 +254,20 @@ def test_get_latest_run(tmp_path):
         _time.sleep(0.01)
     latest = get_latest_run(tmp_path)
     assert "train9" in str(latest), "must pick the most recent run by ctime, not name"
+
+
+def test_output_to_rotated_target():
+    import numpy as np
+
+    from yololite_tpu.utils.plotting import output_to_rotated_target, output_to_target
+
+    out = np.zeros((2, 4, 7), np.float32)
+    out[0, 0] = [10, 10, 20, 20, 0.9, 3, 0.5]  # xywh, conf, cls, angle
+    out[1, 1] = [5, 5, 8, 8, 0.7, 1, -0.2]
+    b, c, boxes, conf = output_to_rotated_target(out)
+    assert boxes.shape == (8, 5)  # xywh + angle
+    assert b[0] == 0 and b[4] == 1
+    np.testing.assert_allclose(boxes[0], [10, 10, 20, 20, 0.5])
+    # plain variant drops padded rows (conf==0)
+    t = output_to_target(np.concatenate([out[..., :6]], -1))
+    assert t[2].shape[1] == 4

@@ -397,6 +397,20 @@ def plot_tune_results(csv_file="tune_results.csv"):
     _save_one_file(csv_file.with_name("tune_fitness.png"))
 
 
+def output_to_rotated_target(output, max_det=300):
+    """(B, N, 7) padded OBB detections [xywh, conf, cls, angle] ->
+    (batch_ids, class_ids, xywh+angle boxes, confs) for plotting
+    (reference plotting.py:1049-1057)."""
+    targets = []
+    for i, o in enumerate(np.asarray(output)):
+        o = o[:max_det]
+        box, conf, cls, angle = o[:, :4], o[:, 4:5], o[:, 5:6], o[:, 6:7]
+        j = np.full((len(o), 1), i, dtype=np.float32)
+        targets.append(np.concatenate((j, cls, box, angle, conf), 1))
+    t = np.concatenate(targets, 0) if targets else np.zeros((0, 8), np.float32)
+    return t[:, 0], t[:, 1], t[:, 2:-1], t[:, -1]
+
+
 def output_to_target(output, max_det=300):
     """(B, max_det, 6) padded detections -> (batch_id, class_id, xywh boxes, conf)
     for plot_images (reference plotting.py:1038-1047)."""
