@@ -151,11 +151,14 @@ def _decode_level_kernel(x_ref, sel_ref, out_ref, *, W, stride, nc, reg_max, con
 
     # ---- class confidence ----
     is_cls = (lane >= 4 * reg_max) & (lane < C)
-    xc = jnp.where(is_cls, x, neg)
-    cm = jnp.max(xc, axis=1)  # (rows,)
+    # f32 for the argmax compare: Mosaic rejects the bf16 broadcast-eq with an
+    # "Invalid relayout" on the i1 mask; f32 compiles (and exactly matches
+    # jnp.argmax on bf16 inputs, since the cast is monotone and injective)
+    xc = jnp.where(is_cls, x, neg).astype(jnp.float32)
+    cm2 = jnp.max(xc, axis=1, keepdims=True)  # (rows, 1)
     # first-max index, matching jnp.argmax tie-breaking
-    ci = jnp.min(jnp.where(xc == cm[:, None], lane - 4 * reg_max, jnp.int32(1 << 30)), axis=1)
-    conf = jax.nn.sigmoid(cm.astype(jnp.float32))
+    ci = jnp.min(jnp.where(xc == cm2, lane - 4 * reg_max, jnp.int32(1 << 30)), axis=1)
+    conf = jax.nn.sigmoid(cm2[:, 0])
     conf = jnp.where(conf > conf_thres, conf, -1.0)
 
     # ---- anchors (grid position = block offset + lane index) ----
