@@ -285,3 +285,45 @@ def test_predict_tensor_source(fake_pt):
 
     results2 = m.predict(_jnp.asarray(batch), conf=1e-7, verbose=False, save=False, batch=2)
     assert len(results2) == 2
+
+
+def test_predict_classes_filter_and_agnostic(fake_pt):
+    """classes= restricts detections to the given ids; agnostic_nms runs class-blind."""
+    pt, _ = fake_pt
+    from yololite_tpu import YOLOLite
+
+    m = YOLOLite(pt)
+    img = np.random.default_rng(3).integers(0, 255, (320, 320, 3), np.uint8)
+    r = m.predict([img], conf=1e-7, classes=[0, 5], verbose=False, save=False, imgsz=320)[0]
+    assert len(r.boxes) > 0
+    assert set(np.unique(r.boxes.cls.astype(int))) <= {0, 5}
+
+    m2 = YOLOLite(pt)
+    r2 = m2.predict([img], conf=1e-7, agnostic_nms=True, verbose=False, save=False, imgsz=320)[0]
+    assert r2.boxes is not None  # class-blind suppression path compiles + runs
+
+
+def test_predict_tta_augment(fake_pt):
+    """augment=True merges multi-scale + flip candidates pre-NMS (reference tasks.py:278)."""
+    pt, _ = fake_pt
+    from yololite_tpu import YOLOLite
+
+    m = YOLOLite(pt)
+    img = np.random.default_rng(5).integers(0, 255, (320, 320, 3), np.uint8)
+    r = m.predict([img], conf=1e-7, augment=True, verbose=False, save=False, imgsz=320)[0]
+    assert len(r.boxes) > 0
+    xyxy = r.boxes.xyxy
+    assert (xyxy[:, 0] >= 0).all() and (xyxy[:, 2] <= 320).all()
+
+
+def test_predict_visualize_feature_maps(fake_pt, tmp_path):
+    """visualize=True saves backbone feature-map grids (reference plotting.py:1060)."""
+    pt, _ = fake_pt
+    from yololite_tpu import YOLOLite
+
+    m = YOLOLite(pt)
+    img = np.random.default_rng(6).integers(0, 255, (320, 320, 3), np.uint8)
+    m.predict([img], conf=0.5, visualize=True, verbose=False, save=False, imgsz=320,
+              project=str(tmp_path), name="vis")
+    pngs = list(tmp_path.rglob("*.png"))
+    assert pngs, "feature visualization should write stage PNGs"
