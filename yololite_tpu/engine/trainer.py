@@ -67,6 +67,61 @@ class EarlyStopping:
         return stop
 
 
+class _AsyncSaver:
+    """Single-worker, latest-wins checkpoint writer.
+
+    The device->host fetch + npz write (~2 s over the sandbox relay) runs off
+    the epoch loop; jax arrays are immutable, so captured references stay valid
+    while training dispatches the next step. If saves are slower than epochs,
+    intermediate snapshots are dropped (last.npz is always the newest
+    submitted) -- same durability class as the reference's per-epoch sync save.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._cond = threading.Condition()
+        self._pending = None
+        self._busy = False
+        self._error = None
+        self._thread = None
+
+    def submit(self, fn):
+        import threading
+
+        with self._cond:
+            if self._thread is None:
+                self._thread = threading.Thread(target=self._run, daemon=True, name="ckpt-saver")
+                self._thread.start()
+            self._pending = fn  # latest wins
+            self._cond.notify_all()
+
+    def _run(self):
+        while True:
+            with self._cond:
+                while self._pending is None:
+                    self._cond.wait()
+                fn, self._pending = self._pending, None
+                self._busy = True
+            try:
+                fn()
+            except Exception as e:  # surfaced at flush()
+                self._error = e
+            finally:
+                with self._cond:
+                    self._busy = False
+                    self._cond.notify_all()
+
+    def flush(self):
+        """Block until the queue is drained; re-raise any worker error."""
+        with self._cond:
+            while self._pending is not None or self._busy:
+                self._cond.wait()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+
 class DetectionTrainer:
     """Full training engine over a DetectionModel + explicit weight pytrees."""
 
@@ -98,6 +153,7 @@ class DetectionTrainer:
         self.loss_names = ["box_loss", "cls_loss", "dfl_loss"]
         self.max_gt = 0
         self.mesh = None
+        self._saver = _AsyncSaver()
         self._resume_blob = getattr(self, "_resume_blob", None)
 
     # ---- model plumbing ----
@@ -370,6 +426,7 @@ class DetectionTrainer:
                 break
             epoch += 1
 
+        self._saver.flush()  # last/best on disk before reloading them
         LOGGER.info(f"\n{self.epochs} epochs completed in {(time.time() - train_time_start) / 3600:.3f} hours.")
         self.final_eval()
         return self.metrics
@@ -414,7 +471,11 @@ class DetectionTrainer:
         }
 
     def save_model(self, epoch):
-        """Save last/best: EMA weights + optimizer state for resume (trainer.py:360-388)."""
+        """Save last/best: EMA weights + optimizer state for resume (trainer.py:360-388).
+
+        Runs on the async saver thread: the ~2 s device->host fetch overlaps the
+        next epoch's dispatched work instead of stalling the loop.
+        """
         meta = self._train_meta(epoch)
         opt_flat = {"mu": self.opt_state.mu, "nu": self.opt_state.nu}
         blob_state = {
@@ -423,11 +484,24 @@ class DetectionTrainer:
             "raw_state": self.state,
             "opt": opt_flat,
         }
-        save_native(self.last, self.ema.ema_params, blob_state, meta)
-        if self.best_fitness is not None and self.fitness is not None and self.best_fitness == self.fitness:
-            save_native(self.best, self.ema.ema_params, blob_state, meta)
-        if self.args.save_period > 0 and epoch % self.args.save_period == 0:
-            save_native(self.wdir / f"epoch{epoch}.npz", self.ema.ema_params, blob_state, meta)
+        # the jitted step donates its buffers (donate_argnums), which DELETES the
+        # current arrays once the next step dispatches -- snapshot with a cheap
+        # device-side copy (x+0) so the async fetch reads stable buffers
+        snap = lambda t: jax.tree.map(lambda x: x + 0 if isinstance(x, jax.Array) else x, t)
+        blob_state = snap(blob_state)
+        ema_params = snap(self.ema.ema_params)
+        is_best = (self.best_fitness is not None and self.fitness is not None
+                   and self.best_fitness == self.fitness)
+        periodic = self.args.save_period > 0 and epoch % self.args.save_period == 0
+
+        def _write():
+            save_native(self.last, ema_params, blob_state, meta)
+            if is_best:
+                save_native(self.best, ema_params, blob_state, meta)
+            if periodic:
+                save_native(self.wdir / f"epoch{epoch}.npz", ema_params, blob_state, meta)
+
+        self._saver.submit(_write)
 
     def save_metrics(self, epoch, tloss):
         """Append one row to results.csv (reference trainer.py:529-536)."""
