@@ -35,8 +35,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Optional[Mesh], tree):
-    """device_put a batch pytree with leading-dim sharding (no-op without mesh)."""
+    """device_put a batch pytree with leading-dim sharding (no-op without mesh).
+
+    Tail batches whose leading dim is not divisible by the mesh size (e.g. the
+    last dataloader batch) fall back to default placement: a different batch
+    shape recompiles the step anyway, so the stragglers run unsharded rather
+    than crash on the divisibility requirement.
+    """
     if mesh is None:
+        return jax.device_put(tree)
+    n = int(np.prod(mesh.devices.shape))
+    leaves = jax.tree.leaves(tree)
+    if leaves and any(l.shape[0] % n for l in leaves):
         return jax.device_put(tree)
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
