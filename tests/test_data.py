@@ -135,3 +135,53 @@ def test_albumentations_noop_without_package():
               "instances": Instances(np.array([[0.5, 0.5, 0.2, 0.2]]), bbox_format="xywh", normalized=True)}
     out = t(dict(labels))
     assert out["img"] is img  # untouched
+
+
+def test_prefetcher_propagates_exceptions():
+    """A loader error mid-stream must reach the consumer, not truncate silently."""
+    import pytest
+
+    from yololite_tpu.data.build import Prefetcher
+
+    def gen():
+        yield 1
+        yield 2
+        raise RuntimeError("boom")
+
+    out = []
+    with pytest.raises(RuntimeError, match="boom"):
+        for x in Prefetcher(gen()):
+            out.append(x)
+    assert out == [1, 2]
+
+
+def test_autocast_list_unreadable_path():
+    import pytest
+
+    from yololite_tpu.data.loaders import autocast_list
+
+    with pytest.raises(FileNotFoundError, match="missing_xyz.jpg"):
+        autocast_list(["/tmp/missing_xyz.jpg"])
+
+
+def test_check_source_uint8_batch_splits():
+    """A (B,H,W,3) uint8 array routes as a list of images, not one 4-D 'image'."""
+    import numpy as np
+
+    from yololite_tpu.data.build import check_source
+
+    src, *_flags, tensor = check_source(np.zeros((3, 32, 32, 3), np.uint8))
+    assert not tensor
+    assert isinstance(src, list) and len(src) == 3 and src[0].shape == (32, 32, 3)
+
+
+def test_streams_file_lists_sources(tmp_path):
+    """A *.streams file is parsed line-by-line (reference loaders.py:42-63)."""
+    import pytest
+
+    from yololite_tpu.data.loaders import LoadStreams
+
+    f = tmp_path / "cams.streams"
+    f.write_text("/nonexistent/stream_a\n/nonexistent/stream_b\n")
+    with pytest.raises(ConnectionError, match="stream_a"):
+        LoadStreams(str(f))  # parsed to per-line sources; first one fails to open

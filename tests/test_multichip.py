@@ -127,9 +127,9 @@ def test_predictor_shards_on_virtual_mesh(tmp_path):
 def test_trainer_auto_shards_on_virtual_mesh(tmp_path):
     """Full DetectionTrainer on the 8-device CPU mesh: batch 8 auto-shards
     (trainer mesh setup + donated sharded buffers + the async checkpoint saver
-    all working together). coco8 has only 4 train images, so an 8-image
-    symlinked copy makes the batch mesh-divisible (tail batches fall back to
-    unsharded placement -- also exercised here by the odd val split)."""
+    all working together). coco8 has only 4 train images, so an 8-image copy
+    makes the batch mesh-divisible; the non-divisible tail-batch fallback has
+    its own test below."""
     import shutil
 
     from tests.conftest import REFERENCE
@@ -170,3 +170,17 @@ def test_trainer_auto_shards_on_virtual_mesh(tmp_path):
     params, state, meta = load_native(tmp_path / "mesh" / "weights" / "last.npz")
     assert meta["epoch"] == 0
     assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(params))
+
+
+def test_shard_batch_tail_fallback():
+    """A batch smaller than the mesh (last dataloader batch) falls back to
+    default placement instead of crashing on the divisibility requirement, and
+    a jitted step with replicated params still consumes it."""
+    from yololite_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+
+    mesh = make_mesh()
+    x = shard_batch(mesh, np.ones((4, 8), np.float32))  # 4 % 8 != 0
+    assert x.shape == (4, 8)
+    w = replicate_tree(mesh, jnp.ones((8,), jnp.float32))
+    y = jax.jit(lambda w, x: x @ w)(w, x)
+    np.testing.assert_allclose(np.asarray(y), 8.0)

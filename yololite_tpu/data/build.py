@@ -47,6 +47,9 @@ def check_source(source):
         # analogue of the reference's torch BCHW LoadTensor, loaders.py:480-546)
         if source.ndim == 4 and np.issubdtype(source.dtype, np.floating):
             tensor = True
+        elif source.ndim == 4:
+            source = list(source)  # uint8 (B,H,W,3) batch -> list of HWC images
+            from_img = True
         else:
             from_img = True
     elif type(source).__module__.startswith("jax"):  # device array -> tensor source
@@ -90,6 +93,8 @@ class Prefetcher:
         try:
             for item in self.iterable:
                 self.q.put(item)
+        except BaseException as e:  # surfaced in the consumer, not swallowed
+            self.q.put(e)
         finally:
             self.q.put(self._DONE)
 
@@ -100,4 +105,6 @@ class Prefetcher:
             item = self.q.get()
             if item is self._DONE:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

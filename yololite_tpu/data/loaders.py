@@ -222,6 +222,9 @@ class LoadStreams:
         self.vid_stride = vid_stride
         self.running = True
         self.mode = "stream"
+        if isinstance(sources, str) and sources.endswith(".streams") and Path(sources).is_file():
+            # a *.streams file lists one source per line (reference loaders.py:42-63)
+            sources = [s.strip() for s in Path(sources).read_text().splitlines() if s.strip()]
         sources = [sources] if isinstance(sources, str) else list(sources)
         self.sources = sources
         n = len(sources)
@@ -302,7 +305,10 @@ def autocast_list(source):
     out = []
     for im in source if isinstance(source, (list, tuple)) else [source]:
         if isinstance(im, (str, Path)):
-            out.append(cv2.imread(str(im)))
+            arr = cv2.imread(str(im))
+            if arr is None:  # cv2.imread returns None instead of raising
+                raise FileNotFoundError(f"image read failure: {im}")
+            out.append(arr)
         else:
             out.append(im)
     return out

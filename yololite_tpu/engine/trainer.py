@@ -390,7 +390,9 @@ class DetectionTrainer:
                     self.params, self.state, grad_sum, images,
                     targets["gt_labels"], targets["gt_bboxes"], targets["mask_gt"],
                 )
-                items = np.asarray(items)
+                # running mean stays a device array: fetching `items` here would
+                # sync the host to every step and stall dispatch pipelining (the
+                # host must stay ahead, preparing the next batch)
                 tloss = items if tloss is None else (tloss * i + items) / (i + 1)
 
                 if ni - last_opt_step >= self.accumulate:
@@ -402,8 +404,9 @@ class DetectionTrainer:
                     last_opt_step = ni
 
                 if i % max(nb // 4, 1) == 0:
+                    t = np.asarray(tloss)  # the only in-epoch device fetch
                     pbar.set_description(
-                        f"epoch {epoch + 1}/{self.epochs} box {tloss[0]:.3f} cls {tloss[1]:.3f} dfl {tloss[2]:.3f}"
+                        f"epoch {epoch + 1}/{self.epochs} box {t[0]:.3f} cls {t[1]:.3f} dfl {t[2]:.3f}"
                     )
 
             self.ema.ema_params, self.ema.ema_state, self.ema.updates = ema_params, ema_state, ema_updates
@@ -418,7 +421,7 @@ class DetectionTrainer:
             if self.args.time:
                 self.stop_training |= (time.time() - train_time_start) > self.args.time * 3600
 
-            self.save_metrics(epoch, tloss)
+            self.save_metrics(epoch, np.asarray(tloss) if tloss is not None else None)
             if self.args.save:
                 self.save_model(epoch)
             epoch_time_start = time.time()

@@ -147,7 +147,9 @@ def _decode_level_kernel(x_ref, sel_ref, out_ref, *, W, stride, nc, reg_max, con
     m = jnp.max(xm, axis=1, keepdims=True)  # global row max: cancels per-segment
     e = jnp.where(is_box, jnp.exp(x - m), jnp.asarray(0.0, ct))
     nd = jnp.dot(e, sel_ref[:].astype(ct), preferred_element_type=jnp.float32)  # (rows, 8)
-    dist = [nd[:, 2 * k] / nd[:, 2 * k + 1] for k in range(4)]
+    # eps guard: the global-row-max trick can underflow a whole segment to 0
+    # (logit spread > ~88 in f32); 0/eps -> 0 instead of 0/0 -> NaN
+    dist = [nd[:, 2 * k] / jnp.maximum(nd[:, 2 * k + 1], 1e-30) for k in range(4)]
 
     # ---- class confidence ----
     is_cls = (lane >= 4 * reg_max) & (lane < C)
