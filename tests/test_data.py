@@ -185,3 +185,90 @@ def test_streams_file_lists_sources(tmp_path):
     f.write_text("/nonexistent/stream_a\n/nonexistent/stream_b\n")
     with pytest.raises(ConnectionError, match="stream_a"):
         LoadStreams(str(f))  # parsed to per-line sources; first one fails to open
+
+
+def _make_jpg(path, seed=0, size=64):
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (size, size, 3), np.uint8)
+    cv2.imwrite(str(path), np.ascontiguousarray(img))
+
+
+def test_dataset_corrupt_file_tolerance(tmp_path):
+    """One bad file must not abort the cache build (reference data/utils.py:51-96).
+
+    A truncated JPEG and a garbage label file are skipped with warnings and
+    counted; valid/missing-label/empty-label images survive.
+    """
+    from yololite_tpu.cfg import get_cfg
+    from yololite_tpu.data.dataset import YOLODataset
+    from yololite_tpu.data.utils import check_det_dataset
+
+    root = tmp_path / "ds"
+    (root / "images" / "train").mkdir(parents=True)
+    (root / "labels" / "train").mkdir(parents=True)
+    for name, seed in [("a", 0), ("b", 1), ("c", 2), ("d", 3), ("e", 4), ("f", 5)]:
+        _make_jpg(root / "images" / "train" / f"{name}.jpg", seed)
+    # a, b: valid labels
+    (root / "labels" / "train" / "a.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+    (root / "labels" / "train" / "b.txt").write_text("0 0.3 0.3 0.1 0.1\n0 0.7 0.7 0.1 0.1\n")
+    # c: truncated JPEG (cut the file mid-stream, dropping the FFD9 trailer)
+    c = root / "images" / "train" / "c.jpg"
+    c.write_bytes(c.read_bytes()[: c.stat().st_size // 2])
+    (root / "labels" / "train" / "c.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+    # d: garbage label file
+    (root / "labels" / "train" / "d.txt").write_text("not a number at all\n")
+    # e: label missing (background); f: label empty (background)
+    (root / "labels" / "train" / "f.txt").write_text("\n")
+
+    yaml = root / "ds.yaml"
+    yaml.write_text(f"path: {root}\ntrain: images/train\nval: images/train\nnames:\n  0: thing\n")
+    data = check_det_dataset(str(yaml))
+
+    import io
+    import logging
+
+    from yololite_tpu.utils import LOGGER
+
+    buf = io.StringIO()
+    h = logging.StreamHandler(buf)
+    LOGGER.addHandler(h)
+    try:
+        ds = YOLODataset(data["train"], imgsz=64, batch_size=2, augment=False,
+                         hyp=get_cfg(), data=data)
+    finally:
+        LOGGER.removeHandler(h)
+    # c (truncated image) and d (garbage label) dropped; a, b, e, f survive
+    assert len(ds) == 4
+    names = {str(p).rsplit("/", 1)[-1] for p in ds.im_files}
+    assert names == {"a.jpg", "b.jpg", "e.jpg", "f.jpg"}
+    out = buf.getvalue()
+    assert "ignoring corrupt" in out and "2 corrupt" in out
+    # every surviving item loads
+    for i in range(len(ds)):
+        item = ds[i]
+        assert item["img"].shape == (64, 64, 3)
+
+
+def test_verify_image_label_counts(tmp_path):
+    """verify_image_label returns per-file found/missing/empty/corrupt flags."""
+    from yololite_tpu.data.utils import verify_image_label
+
+    im = tmp_path / "x.jpg"
+    _make_jpg(im)
+    lb = tmp_path / "x.txt"
+    lb.write_text("0 0.5 0.5 0.2 0.2\n")
+    out = verify_image_label(str(im), str(lb), 1)
+    assert out[0] == str(im) and out[4:8] == (0, 1, 0, 0)  # found
+
+    out = verify_image_label(str(im), str(tmp_path / "none.txt"), 1)
+    assert out[4:8] == (1, 0, 0, 0)  # missing
+
+    lb.write_text("")
+    out = verify_image_label(str(im), str(lb), 1)
+    assert out[4:8] == (0, 1, 1, 0)  # empty
+
+    lb.write_text("7 0.5 0.5 0.2 0.2\n")  # class out of range -> corrupt
+    out = verify_image_label(str(im), str(lb), 1)
+    assert out[0] is None and out[7] == 1

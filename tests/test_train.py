@@ -305,3 +305,57 @@ def test_strip_optimizer(tmp_path):
     assert "optimizer" not in s2  # training state gone, model stats kept
     assert "0" in s2
     np.testing.assert_array_equal(np.asarray(p2["0"]["conv"]["w"]), params["0"]["conv"]["w"])
+
+
+def test_async_saver_critical_never_dropped():
+    """A best/periodic write pending on the saver must never be coalesced away
+    by a later routine save (ADVICE r2: best.npz silently held stale weights)."""
+    import threading
+    import time
+
+    from yololite_tpu.engine.trainer import _AsyncSaver
+
+    s = _AsyncSaver()
+    order = []
+    gate = threading.Event()
+    s.submit(lambda: (gate.wait(5), order.append("slow")))
+    time.sleep(0.2)  # worker picks it up and blocks on the gate
+    s.submit(lambda: order.append("best"), critical=True)  # pending critical
+    submitted = []
+    th = threading.Thread(target=lambda: (s.submit(lambda: order.append("routine")),
+                                          submitted.append(1)))
+    th.start()
+    time.sleep(0.2)
+    assert not submitted  # routine submit blocks while a critical write is pending
+    gate.set()
+    th.join(5)
+    s.flush()
+    assert order == ["slow", "best", "routine"]
+
+
+def test_async_saver_error_surfaces():
+    """Worker errors re-raise at flush (and are logged on later submits)."""
+    import pytest
+
+    from yololite_tpu.engine.trainer import _AsyncSaver
+
+    s = _AsyncSaver()
+    s.submit(lambda: (_ for _ in ()).throw(OSError("disk full")))
+    with pytest.raises(OSError, match="disk full"):
+        s.flush()
+    s.submit(lambda: None)  # saver still usable after the error
+    s.flush()
+
+
+def test_save_native_atomic(tmp_path):
+    """save_native never leaves a torn file: tmp write + os.replace."""
+    import numpy as np
+
+    from yololite_tpu.models.checkpoint import load_native, save_native
+
+    p = tmp_path / "w" / "last.npz"
+    save_native(p, {"a": np.arange(4.0)}, {"s": np.ones(2)}, {"epoch": 3})
+    assert p.exists() and not list(p.parent.glob("*.tmp"))
+    params, state, meta = load_native(p)
+    np.testing.assert_array_equal(params["a"], np.arange(4.0))
+    assert meta["epoch"] == 3

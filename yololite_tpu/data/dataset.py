@@ -57,6 +57,7 @@ class YOLODataset:
         self.stride = stride
         self.im_files = self.get_img_files(img_path, fraction)
         self.labels = self.get_labels()
+        self.im_files = [lb["im_file"] for lb in self.labels]  # corrupt files were dropped
         if single_cls or classes is not None:
             self.update_labels(classes)
         self.ni = len(self.labels)
@@ -111,12 +112,16 @@ class YOLODataset:
             return cached["labels"]
 
         labels = []
+        nm = nf = ne = ncorr = 0  # missing / found / empty / corrupt counts (ref dataset.py:167-210)
         with ThreadPoolExecutor(max_workers=8) as ex:
-            nc = len(self.data.get("names", {})) or 10**9
-            results = ex.map(lambda args: verify_image_label(*args, nc), zip(self.im_files, label_files))
-            for im_file, cls, bboxes, shape, msg in results:
+            ncls = len(self.data.get("names", {})) or 10**9
+            results = ex.map(lambda args: verify_image_label(*args, ncls), zip(self.im_files, label_files))
+            for im_file, cls, bboxes, shape, nm_f, nf_f, ne_f, nc_f, msg in results:
+                nm, nf, ne, ncorr = nm + nm_f, nf + nf_f, ne + ne_f, ncorr + nc_f
                 if msg:
                     LOGGER.warning(msg)
+                if im_file is None:  # corrupt image/label: skip, keep going
+                    continue
                 labels.append(
                     {
                         "im_file": im_file,
@@ -127,6 +132,14 @@ class YOLODataset:
                         "bbox_format": "xywh",
                     }
                 )
+        LOGGER.info(
+            f"Scanned {len(self.im_files)} images: {nf} labels found, {nm} missing, "
+            f"{ne} empty, {ncorr} corrupt"
+        )
+        if not labels:
+            raise FileNotFoundError(f"no valid images found in {self.img_path} ({ncorr} corrupt)")
+        if nf == 0:
+            LOGGER.warning(f"no labels found in {self.img_path}; training will not work correctly")
         if cache_path:
             try:
                 np.save(str(cache_path)[: -len(".npy")], {"labels": labels, "hash": h, "version": DATASET_CACHE_VERSION})

@@ -11,7 +11,6 @@ import os
 from pathlib import Path
 from typing import Dict, List, Tuple
 
-import cv2
 import numpy as np
 
 from yololite_tpu.utils import LOGGER, yaml_load
@@ -33,43 +32,86 @@ def get_hash(paths: List[str]) -> str:
     return h.hexdigest()
 
 
+def exif_size(img) -> Tuple[int, int]:
+    """EXIF-orientation-corrected PIL size (w, h) (reference data/utils.py:37-49)."""
+    s = img.size  # (width, height)
+    if img.format == "JPEG":  # orientation tag is JPEG-only
+        try:
+            exif = img.getexif()
+            if exif:
+                rotation = exif.get(274, None)  # 274 = EXIF orientation
+                if rotation in {6, 8}:  # 270 / 90 degrees
+                    s = s[1], s[0]
+        except Exception:
+            pass
+    return s
+
+
 def verify_image_label(im_file: str, lb_file: str, num_cls: int) -> Tuple:
-    """Validate one image/label pair -> (im_file, cls (n,1), bboxes (n,4), shape, msg).
+    """Validate one image/label pair, never raising.
 
-    Same checks as reference data/utils.py:51-96: image readability, min size,
-    label 5-column float format, normalized 0-1 coords, class range, dedup.
+    Returns (im_file, cls (n,1), bboxes (n,4), shape, nm, nf, ne, nc, msg) where
+    nm/nf/ne/nc are 0/1 missing/found/empty/corrupt flags. On any failure the
+    first four fields are None and nc=1 so the caller can skip the file and keep
+    going — the reference's per-file try/except semantics (data/utils.py:51-96):
+    one truncated JPEG or garbage label file must not abort the cache build.
     """
+    nm = nf = ne = 0
     msg = ""
-    im = cv2.imread(im_file)
-    if im is None:
-        raise FileNotFoundError(f"cannot read image {im_file}")
-    shape = im.shape[:2]  # (h, w)
-    if shape[0] < 10 or shape[1] < 10:
-        raise ValueError(f"image size {shape} <10 pixels: {im_file}")
+    try:
+        # image: PIL verify catches undecodable headers without a full decode
+        from PIL import Image, ImageOps
 
-    if os.path.isfile(lb_file):
-        with open(lb_file, encoding="utf-8") as f:
-            lb = [x.split() for x in f.read().strip().splitlines() if len(x)]
-        lb = np.array(lb, dtype=np.float32) if lb else np.zeros((0, 5), np.float32)
-    else:
-        lb = np.zeros((0, 5), np.float32)
-        msg = f"label missing: {lb_file}"
+        with Image.open(im_file) as im:
+            im.verify()
+            fmt = (im.format or "").lower()
+            w, h = exif_size(im)
+        shape = (h, w)
+        if shape[0] < 10 or shape[1] < 10:
+            raise ValueError(f"image size {shape} <10 pixels")
+        if fmt not in IMG_FORMATS:
+            raise ValueError(f"invalid image format {fmt}")
+        if fmt in {"jpg", "jpeg"}:  # truncated-JPEG detection (ref data/utils.py:62-67)
+            with open(im_file, "rb") as f:
+                f.seek(-2, 2)
+                truncated = f.read() != b"\xff\xd9"
+            if truncated:
+                try:
+                    ImageOps.exif_transpose(Image.open(im_file)).save(
+                        im_file, "JPEG", subsampling=0, quality=100
+                    )
+                    msg = f"{im_file}: corrupt JPEG restored and saved"
+                except Exception as e:
+                    raise ValueError(f"corrupt JPEG (restore failed: {e})") from e
 
-    nl = len(lb)
-    if nl:
-        if lb.shape[1] != 5:
-            raise ValueError(f"labels require 5 columns, got {lb.shape[1]}: {lb_file}")
-        if lb.min() < 0:
-            raise ValueError(f"negative label values in {lb_file}")
-        if lb[:, 1:].max() > 1:
-            raise ValueError(f"non-normalized coordinates in {lb_file}")
-        if int(lb[:, 0].max()) >= num_cls:
-            raise ValueError(f"class {int(lb[:, 0].max())} exceeds nc={num_cls} in {lb_file}")
-        _, idx = np.unique(lb, axis=0, return_index=True)
-        if len(idx) < nl:
-            lb = lb[np.sort(idx)]
-            msg = f"removed {nl - len(idx)} duplicate labels: {lb_file}"
-    return im_file, lb[:, 0:1], lb[:, 1:5], shape, msg
+        # labels
+        if os.path.isfile(lb_file):
+            nf = 1
+            with open(lb_file, encoding="utf-8") as f:
+                lb = [x.split() for x in f.read().strip().splitlines() if len(x)]
+            lb = np.array(lb, dtype=np.float32) if lb else np.zeros((0, 5), np.float32)
+            nl = len(lb)
+            if nl:
+                if lb.ndim != 2 or lb.shape[1] != 5:
+                    raise ValueError(f"labels require 5 columns: {lb_file}")
+                if lb.min() < 0:
+                    raise ValueError(f"negative label values in {lb_file}")
+                if lb[:, 1:].max() > 1:
+                    raise ValueError(f"non-normalized coordinates in {lb_file}")
+                if int(lb[:, 0].max()) >= num_cls:
+                    raise ValueError(f"class {int(lb[:, 0].max())} exceeds nc={num_cls} in {lb_file}")
+                _, idx = np.unique(lb, axis=0, return_index=True)
+                if len(idx) < nl:
+                    lb = lb[np.sort(idx)]
+                    msg = f"removed {nl - len(idx)} duplicate labels: {lb_file}"
+            else:
+                ne = 1
+        else:
+            nm = 1
+            lb = np.zeros((0, 5), np.float32)
+        return im_file, lb[:, 0:1], lb[:, 1:5], shape, nm, nf, ne, 0, msg
+    except Exception as e:
+        return None, None, None, None, nm, nf, ne, 1, f"{im_file}: ignoring corrupt image/label: {e}"
 
 
 def check_det_dataset(dataset: str) -> Dict:

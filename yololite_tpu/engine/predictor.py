@@ -186,11 +186,15 @@ class DetectionPredictor:
         """
         if not bool(self.args.int8) or self._quantized:
             return
-        from yololite_tpu.models.quant import quantize_model
         from yololite_tpu.ops.letterbox import preprocess_batch
+
+        self._quantize_from(preprocess_batch(im0s, imgsz=self.imgsz[0]))
+
+    def _quantize_from(self, calib: np.ndarray):
+        """Quantize weights using `calib` (preprocessed NHWC float batch) for activation scales."""
+        from yololite_tpu.models.quant import quantize_model
         from yololite_tpu.parallel.mesh import replicate_tree
 
-        calib = preprocess_batch(im0s, imgsz=self.imgsz[0])
         host_p = jax.tree.map(np.asarray, self.params)
         host_s = jax.tree.map(np.asarray, self.state)
         qp, qs, _ = quantize_model(self.model, host_p, host_s, [calib])
@@ -236,8 +240,11 @@ class DetectionPredictor:
             for paths, im0s, infos in Prefetcher(self.dataset, depth=2):
                 n = len(im0s)
                 if is_tensor:
-                    # pre-normalized NHWC float batch: no letterbox, no quantize-calibration
+                    # pre-normalized NHWC float batch: no letterbox needed
                     im = np.asarray(im0s, np.float32)
+                    if bool(self.args.int8) and not self._quantized:
+                        # calibrate directly on this batch (already normalized imagery)
+                        self._quantize_from(im)
                     orig = [np.ascontiguousarray((np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)[..., ::-1])
                             for a in im]  # BGR uint8 for Results
                     with profilers[0]:

@@ -68,13 +68,17 @@ class EarlyStopping:
 
 
 class _AsyncSaver:
-    """Single-worker, latest-wins checkpoint writer.
+    """Single-worker checkpoint writer: latest-wins for routine saves, lossless
+    for critical ones.
 
     The device->host fetch + npz write (~2 s over the sandbox relay) runs off
     the epoch loop; jax arrays are immutable, so captured references stay valid
-    while training dispatches the next step. If saves are slower than epochs,
-    intermediate snapshots are dropped (last.npz is always the newest
-    submitted) -- same durability class as the reference's per-epoch sync save.
+    while training dispatches the next step. A plain last.npz save may be
+    coalesced away by a newer one (same durability class as the reference's
+    per-epoch sync save), but a save submitted with critical=True (best.npz /
+    periodic epoch{N}.npz) is never dropped: submit blocks until any pending
+    critical write has been picked up by the worker. Worker errors are logged
+    on the next submit (not silently held until flush) and re-raised at flush.
     """
 
     def __init__(self):
@@ -82,18 +86,24 @@ class _AsyncSaver:
 
         self._cond = threading.Condition()
         self._pending = None
+        self._pending_critical = False
         self._busy = False
         self._error = None
         self._thread = None
 
-    def submit(self, fn):
+    def submit(self, fn, critical: bool = False):
         import threading
 
         with self._cond:
+            if self._error is not None:  # surface persistent failures promptly
+                LOGGER.warning(f"checkpoint save failed: {self._error!r} (will re-raise at end of training)")
             if self._thread is None:
                 self._thread = threading.Thread(target=self._run, daemon=True, name="ckpt-saver")
                 self._thread.start()
-            self._pending = fn  # latest wins
+            while self._pending is not None and self._pending_critical:
+                self._cond.wait()  # never replace a best/periodic write
+            self._pending = fn  # latest wins among routine saves
+            self._pending_critical = critical
             self._cond.notify_all()
 
     def _run(self):
@@ -102,10 +112,12 @@ class _AsyncSaver:
                 while self._pending is None:
                     self._cond.wait()
                 fn, self._pending = self._pending, None
+                self._pending_critical = False
                 self._busy = True
+                self._cond.notify_all()  # unblock a submit waiting on a critical pickup
             try:
                 fn()
-            except Exception as e:  # surfaced at flush()
+            except Exception as e:  # logged on next submit, re-raised at flush()
                 self._error = e
             finally:
                 with self._cond:
@@ -325,7 +337,6 @@ class DetectionTrainer:
         nw = max(round(self.args.warmup_epochs * nb), 100) if self.args.warmup_epochs > 0 else -1
         last_opt_step = -1
         ema_updates = self.ema.updates
-        epoch_time_start = time.time()
         train_time_start = time.time()
 
         self.params = replicate_tree(self.mesh, self.params)
@@ -346,6 +357,21 @@ class DetectionTrainer:
         self.wdir.mkdir(parents=True, exist_ok=True)
 
         epoch = self.start_epoch
+        try:
+            self._train_epochs(epoch, nb, nw, grad_sum, opt_state, ema_params, ema_state,
+                               ema_updates, last_opt_step, train_time_start)
+        finally:
+            # drain pending checkpoint writes even when the loop raises
+            # (KeyboardInterrupt, data error): last.npz stays consistent and a
+            # persistent save failure surfaces instead of dying with the run
+            self._saver.flush()
+        LOGGER.info(f"\n{self.epochs} epochs completed in {(time.time() - train_time_start) / 3600:.3f} hours.")
+        self.final_eval()
+        return self.metrics
+
+    def _train_epochs(self, epoch, nb, nw, grad_sum, opt_state, ema_params, ema_state,
+                      ema_updates, last_opt_step, train_time_start):
+        epoch_time_start = time.time()
         while epoch < self.epochs:
             self.epoch = epoch
             if epoch == (self.epochs - self.args.close_mosaic) and self.args.close_mosaic:
@@ -429,11 +455,6 @@ class DetectionTrainer:
                 break
             epoch += 1
 
-        self._saver.flush()  # last/best on disk before reloading them
-        LOGGER.info(f"\n{self.epochs} epochs completed in {(time.time() - train_time_start) / 3600:.3f} hours.")
-        self.final_eval()
-        return self.metrics
-
     # ---- hooks ----
 
     def preprocess_batch(self, batch):
@@ -504,7 +525,9 @@ class DetectionTrainer:
             if periodic:
                 save_native(self.wdir / f"epoch{epoch}.npz", ema_params, blob_state, meta)
 
-        self._saver.submit(_write)
+        # best/periodic writes are critical: the saver must never coalesce them
+        # away behind a newer routine save (reference writes best synchronously)
+        self._saver.submit(_write, critical=is_best or periodic)
 
     def save_metrics(self, epoch, tloss):
         """Append one row to results.csv (reference trainer.py:529-536)."""

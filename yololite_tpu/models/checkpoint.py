@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import pickle
 import zipfile
 from pathlib import Path
@@ -244,8 +245,15 @@ def map_state_dict_into(sd: Dict[str, np.ndarray], params: Dict, state: Dict, st
                 if strict:
                     raise
                 continue
-            if "wt" in node:  # transposed conv: (c_in, c_out, kh, kw) -> flipped HWIO
-                _set_nested(params, parts[:-1] + ["wt"], v[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy(), filled, strict)
+            if "wt" in node:  # transposed conv: (c_in, c_out/g, kh, kw) -> flipped HWIO
+                tmpl = node["wt"]
+                vf = v[:, :, ::-1, ::-1]
+                if getattr(tmpl, "ndim", 4) == 5:  # grouped (DWConvTranspose2d): g from template
+                    kh, kw, cing, g, outg = tmpl.shape
+                    w = vf.reshape(g, cing, outg, kh, kw).transpose(3, 4, 1, 0, 2).copy()
+                else:
+                    w = vf.transpose(2, 3, 0, 1).copy()
+                _set_nested(params, parts[:-1] + ["wt"], w, filled, strict)
             else:  # conv: OIHW -> HWIO
                 _set_nested(params, parts[:-1] + ["w"], v.transpose(2, 3, 1, 0), filled, strict)
         elif leaf == "weight" and v.ndim in (1, 2):  # Linear (torch orientation) / LayerNorm
@@ -323,7 +331,12 @@ def pytree_to_state_dict(params: Dict, state: Dict, prefix: str = "model.") -> D
             if k == "w":
                 out[f"{prefix}{name}.weight" if name else f"{prefix}weight"] = v.transpose(3, 2, 0, 1)
             elif k == "wt":
-                out[f"{prefix}{name}.weight"] = v.transpose(2, 3, 0, 1)[:, :, ::-1, ::-1].copy()
+                if v.ndim == 5:  # grouped: (kh, kw, c1/g, g, c2/g) -> torch (c1, c2/g, kh, kw)
+                    kh, kw, cing, g, outg = v.shape
+                    w = v.transpose(3, 2, 4, 0, 1).reshape(g * cing, outg, kh, kw)
+                else:
+                    w = v.transpose(2, 3, 0, 1)
+                out[f"{prefix}{name}.weight"] = w[:, :, ::-1, ::-1].copy()
             elif k == "b":
                 out[f"{prefix}{name}.bias"] = v
             elif k == "scale":  # bn scale lives under a 'bn' path component
@@ -427,14 +440,26 @@ def _fetch_tree_packed(flat: Dict[str, Any]) -> Dict[str, np.ndarray]:
 
 
 def save_native(path, params: Dict, state: Dict, meta: Optional[Dict] = None):
-    """Save params/state (+ json meta) to a single .npz container."""
+    """Save params/state (+ json meta) to a single .npz container.
+
+    Atomic: writes to a sibling .tmp file then os.replace()s it into place, so
+    an abrupt exit mid-write (the trainer saves from a daemon thread) can never
+    leave a truncated last.npz that would break resume.
+    """
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     flat = {f"params.{k}": v for k, v in _flatten_keep(params).items()}
     flat.update({f"state.{k}": v for k, v in _flatten_keep(state).items()})
     flat = _fetch_tree_packed(flat)
     flat["__meta__"] = np.frombuffer(json.dumps(meta or {}, default=str).encode(), dtype=np.uint8)
-    np.savez(path, **flat)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **flat)
+        os.replace(tmp, path)
+    finally:
+        if tmp.exists():
+            tmp.unlink(missing_ok=True)
 
 
 def _flatten_keep(tree: Dict, prefix=()) -> Dict[str, Any]:

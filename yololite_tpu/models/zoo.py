@@ -768,9 +768,11 @@ class Conv2(Module):
 class DWConvTranspose2d(Module):
     """Depthwise transposed conv, groups = gcd(c1, c2) (reference conv.py:108-113).
 
-    Param 'wt': flipped HWIO blocks (kh, kw, c_in//g, c_out//g stacked g-major on
-    the last axis) so the fractionally-strided forward conv can use
-    feature_group_count directly.
+    Param 'wt' is stored 5-dim as flipped (kh, kw, c_in//g, g, c_out//g) and
+    reshaped to the HWIO grouped kernel (kh, kw, c_in//g, c_out) at call time
+    (g-major output channels, matching feature_group_count semantics). Keeping
+    the group axis explicit lets the checkpoint mapper detect g from the
+    template shape alone, in both import and export directions.
     """
 
     def __init__(self, c1, c2, k=1, s=1, p1=0, p2=0):
@@ -783,13 +785,14 @@ class DWConvTranspose2d(Module):
         from yololite_tpu.models.modules import _kaiming_uniform
 
         fan_in = (self.c2 // self.g) * self.k * self.k
-        wt = _kaiming_uniform(key, (self.k, self.k, self.c1 // self.g, self.c2), fan_in)
-        return {"wt": wt}, {}
+        shape = (self.k, self.k, self.c1 // self.g, self.g, self.c2 // self.g)
+        return {"wt": _kaiming_uniform(key, shape, fan_in)}, {}
 
     def __call__(self, params, state, x, ctx, path=()):
         pad = self.k - 1 - self.p
+        wt = params["wt"].reshape(self.k, self.k, self.c1 // self.g, self.c2)
         return jax.lax.conv_general_dilated(
-            x, params["wt"].astype(x.dtype), window_strides=(1, 1),
+            x, wt.astype(x.dtype), window_strides=(1, 1),
             padding=[(pad, pad), (pad, pad)], lhs_dilation=(self.s, self.s),
             dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=self.g,
         )
