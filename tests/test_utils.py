@@ -271,3 +271,98 @@ def test_output_to_rotated_target():
     # plain variant drops padded rows (conf==0)
     t = output_to_target(np.concatenate([out[..., :6]], -1))
     assert t[2].shape[1] == 4
+
+
+def test_annotator_pil_branch():
+    """Non-ASCII example text switches the Annotator to the PIL draw path
+    (reference plotting.py:163-175)."""
+    from yololite_tpu.utils.plotting import Annotator
+
+    im = np.zeros((64, 64, 3), np.uint8)
+    ann = Annotator(im.copy(), example="中文")
+    assert ann.pil
+    ann.box_label((5, 15, 40, 50), "人 0.91", color=(255, 42, 4))
+    ann.text([2, 2], "line1\nline2", box_style=True)
+    ann.rectangle((1, 1, 10, 10), outline=(0, 255, 0))
+    out = ann.result()
+    assert isinstance(out, np.ndarray) and out.shape == (64, 64, 3)
+    assert out.any()  # something was drawn
+    # explicit pil=True and PIL input also select the branch
+    from PIL import Image
+
+    assert Annotator(Image.fromarray(im)).pil
+    assert Annotator(im.copy(), pil=True).pil
+    # ASCII example keeps cv2
+    a2 = Annotator(im.copy(), example="abc")
+    assert not a2.pil
+    a2.fromarray(im.copy())
+    assert isinstance(a2.im, np.ndarray)
+
+
+def test_annotator_solutions_helpers():
+    """Queue/parking/workout/distance helpers draw without error and mutate the
+    image (reference plotting.py:476-676)."""
+    from yololite_tpu.utils.plotting import Annotator
+
+    im = np.zeros((120, 160, 3), np.uint8)
+    ann = Annotator(im)
+    ann.queue_counts_display("Queue: 3", points=[(10, 10), (100, 10), (100, 80), (10, 80)])
+    ann.display_objects_labels(ann.im, "car", (255, 255, 255), (50, 50, 50), 60, 40, 5)
+    ann.display_analytics(ann.im, {"total": 7, "free": 2}, (255, 255, 255), (0, 0, 0), 4)
+    h = ann.plot_workout_information("Reps 12", (20, 100))
+    assert h > 0
+    ann.plot_angle_and_count_and_stage(93.5, 4, "up", (30, 30))
+    ann.plot_distance_and_line(42.0, [(10, 110), (150, 110)])
+    assert ann.im.any()
+    # angle of a right angle is 90 degrees
+    assert abs(Annotator.estimate_pose_angle((0, 1), (0, 0), (1, 0)) - 90.0) < 1e-6
+
+
+def test_results_device_shims(monkeypatch):
+    """Results.new/cpu/numpy/cuda/to/show mirror the reference surface
+    (reference results.py:115-127, 215-228)."""
+    from yololite_tpu.engine.results import Results
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    det = np.array([[2.0, 3.0, 20.0, 22.0, 0.9, 1.0]], np.float32)
+    r = Results(img, "x.jpg", {0: "a", 1: "b"}, boxes=det)
+
+    r2 = r.new()
+    assert len(r2) == 0 and r2.names is r.names and r2.path == r.path
+
+    assert r.cpu() is r and r.numpy() is r and r.cuda() is r
+    r16 = r.to(np.float16)
+    assert r16.boxes.data.dtype == np.float16 and len(r16) == 1
+    assert r.to("cpu") is r  # device string: no-op
+
+    shown = []
+    from yololite_tpu.utils import plotting as P
+
+    monkeypatch.setattr(P.Annotator, "show", lambda self, title=None: shown.append(title))
+    r.show()
+    assert shown == ["x.jpg"]
+
+
+def test_check_imshow_and_print_args():
+    from yololite_tpu.utils.checks import check_imshow, print_args
+
+    assert check_imshow(warn=False) in (True, False)  # headless sandbox -> False
+
+    import io
+    import logging
+
+    from yololite_tpu.utils import LOGGER
+
+    buf = io.StringIO()
+    h = logging.StreamHandler(buf)
+    LOGGER.addHandler(h)
+    try:
+        def demo(alpha=3, beta="x"):
+            print_args()
+
+        demo()
+        print_args({"k": 1}, show_file=False, show_func=True)
+    finally:
+        LOGGER.removeHandler(h)
+    out = buf.getvalue()
+    assert "alpha=3" in out and "beta=x" in out and "k=1" in out

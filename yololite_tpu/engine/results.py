@@ -113,18 +113,61 @@ class Results:
         if boxes is not None:
             self.boxes = Boxes(boxes, self.orig_shape)
 
-    def plot(self, conf=True, line_width=None, font_size=None, labels=True, boxes=True, img=None):
+    def new(self):
+        """Empty Results carrying the same image/path/names (reference results.py:215)."""
+        r = Results(orig_img=self.orig_img, path=self.path, names=self.names)
+        r.speed = self.speed
+        return r
+
+    def cpu(self):
+        """No-op device shim: results are numpy-backed, already on host (ref results.py:115)."""
+        return self
+
+    def numpy(self):
+        """No-op: already numpy (reference results.py:118)."""
+        return self
+
+    def cuda(self):
+        """Device-move shim: arrays stay on host; device placement happens inside
+        the jitted graph, so this is a no-op (reference results.py:121)."""
+        return self
+
+    def to(self, *args, **kwargs):
+        """Dtype-conversion shim; device arguments are ignored (ref results.py:124)."""
+        dtype = kwargs.get("dtype") or next((a for a in args if not isinstance(a, str)), None)
+        if dtype is not None:
+            try:
+                r = self.new()
+                r.boxes = Boxes(self.boxes.data.astype(dtype), self.orig_shape)
+                return r
+            except TypeError:
+                pass
+        return self
+
+    def plot(self, conf=True, line_width=None, font_size=None, labels=True, boxes=True, img=None,
+             pil=False, show=False, save=False, filename=None, color_mode="class"):
         """Draw detections on (a copy of) the original image; returns BGR array."""
+        assert color_mode in {"instance", "class"}, f"bad color_mode {color_mode!r}"
         im = (img if img is not None else self.orig_img).copy()
-        ann = Annotator(im, line_width=line_width, font_size=font_size)
+        ann = Annotator(im, line_width=line_width, font_size=font_size, pil=pil,
+                        example=str(self.names))
         if boxes:
-            for row in self.boxes.data:
+            for i, row in enumerate(self.boxes.data):
                 x1, y1, x2, y2, cf, cl = row[:6]
                 c = int(cl)
                 name = self.names.get(c, str(c))
                 label = (f"{name} {cf:.2f}" if conf else name) if labels else None
-                ann.box_label((x1, y1, x2, y2), label, color=colors(c, True))
+                ann.box_label((x1, y1, x2, y2), label,
+                              color=colors(c if color_mode == "class" else i, True))
+        if show:
+            ann.show(self.path)
+        if save:
+            ann.save(filename or f"results_{Path(self.path).stem}.jpg")
         return ann.result()
+
+    def show(self, *args, **kwargs):
+        """Plot and display the annotated image (reference results.py:218-228)."""
+        self.plot(*args, show=True, **kwargs)
 
     def save(self, filename=None):
         filename = filename or f"results_{Path(self.path).stem}.jpg"

@@ -38,3 +38,45 @@ def check_version(current: str, required: str) -> bool:
 def is_ascii(s) -> bool:
     """True if the string is pure ASCII (reference checks.py is_ascii)."""
     return all(ord(c) < 128 for c in str(s))
+
+
+def check_imshow(warn: bool = False) -> bool:
+    """True if the environment supports cv2 image display (reference checks.py:253-266)."""
+    import os
+    import platform
+
+    import cv2
+    import numpy as np
+
+    try:
+        if platform.system() == "Linux":
+            assert "DISPLAY" in os.environ, "The DISPLAY environment variable isn't set."
+        cv2.imshow("test", np.zeros((8, 8, 3), np.uint8))
+        cv2.waitKey(1)
+        cv2.destroyAllWindows()
+        cv2.waitKey(1)
+        return True
+    except Exception as e:
+        if warn:
+            LOGGER.warning(f"Environment does not support cv2.imshow() or PIL Image.show()\n{e}")
+        return False
+
+
+def print_args(args: dict = None, show_file: bool = True, show_func: bool = False):
+    """Log the calling function's arguments as 'file: k=v, ...' (reference checks.py:269-281)."""
+    import inspect
+    from pathlib import Path
+
+    from yololite_tpu.utils import colorstr
+
+    frame = inspect.currentframe().f_back
+    file, _, func, _, _ = inspect.getframeinfo(frame)
+    if args is None:  # collect the caller's own locals that are parameters
+        argnames, _, _, frm = inspect.getargvalues(frame)
+        args = {k: v for k, v in frm.items() if k in argnames}
+    try:
+        file = Path(file).resolve().relative_to(Path(__file__).resolve().parents[2]).with_suffix("")
+    except ValueError:
+        file = Path(file).stem
+    s = (f"{file}: " if show_file else "") + (f"{func}: " if show_func else "")
+    LOGGER.info(colorstr(s) + ", ".join(f"{k}={v}" for k, v in args.items()))

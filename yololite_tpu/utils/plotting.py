@@ -50,21 +50,46 @@ _LIGHT_BGS = {
 
 
 class Annotator:
-    """cv2-based box/label drawing on a BGR uint8 image.
+    """Box/label drawing on a BGR uint8 image (cv2 default, PIL for non-ASCII).
 
-    Counterpart of reference plotting.py:151-693. Differences by design: cv2-only
-    (the reference switches to PIL for non-ASCII labels; we always draw with cv2),
-    and the pose-keypoint skeleton table is omitted (detection-only scope).
+    Counterpart of reference plotting.py:151-693. Draws with cv2 unless `pil=True`,
+    the `example` label text is non-latin, or the input is a PIL Image — then it
+    switches to a PIL draw context with the default bitmap font, matching the
+    reference's non-ASCII branch (plotting.py:163-230). The pose-keypoint skeleton
+    table is omitted (detection-only scope).
     """
 
-    def __init__(self, im: np.ndarray, line_width: Optional[int] = None, font_size: Optional[float] = None):
+    def __init__(self, im, line_width: Optional[int] = None, font_size: Optional[float] = None,
+                 font: str = "Arial.ttf", pil: bool = False, example: str = "abc"):
         import cv2
 
+        from yololite_tpu.utils.checks import is_ascii
+
         self.cv2 = cv2
-        self.im = np.ascontiguousarray(im)
-        self.lw = line_width or max(round(sum(im.shape[:2]) / 2 * 0.003), 2)
+        try:
+            from PIL import Image
+
+            input_is_pil = isinstance(im, Image.Image)
+        except ImportError:  # pragma: no cover
+            input_is_pil = False
+        self.pil = pil or not is_ascii(example) or input_is_pil
+        if self.pil:
+            from PIL import Image, ImageDraw, ImageFont
+
+            self.im = im if input_is_pil else Image.fromarray(im)
+            self.draw = ImageDraw.Draw(self.im)
+            self.font = ImageFont.load_default()
+            self.lw = line_width or max(round(sum(self.im.size) / 2 * 0.003), 2)
+        else:
+            self.im = np.ascontiguousarray(im)
+            self.lw = line_width or max(round(sum(im.shape[:2]) / 2 * 0.003), 2)
         self.tf = max(self.lw - 1, 1)  # font thickness
         self.fs = font_size or self.tf * 0.4  # font scale (getTextSize/putText)
+
+    def _text_wh(self, text: str):
+        """(width, height) of `text` in the PIL font (getbbox; PIL>=9.2 safe)."""
+        box = self.font.getbbox(text)
+        return box[2] - box[0], box[3] - box[1]
 
     def get_txt_color(self, color=(128, 128, 128), txt_color=(255, 255, 255)):
         """Pick a readable text color for the given label background."""
@@ -78,6 +103,22 @@ class Annotator:
         """Draw a (possibly rotated) box with an optional filled label."""
         cv2 = self.cv2
         txt_color = self.get_txt_color(color, txt_color)
+        if self.pil:  # non-ASCII-safe branch (reference plotting.py:331-348)
+            if rotated:
+                p1 = tuple(box[0])
+                self.draw.polygon([tuple(b) for b in box], width=self.lw, outline=color)
+            else:
+                p1 = (box[0], box[1])
+                self.draw.rectangle(tuple(box), width=self.lw, outline=color)
+            if label:
+                w, h = self._text_wh(label)
+                outside = p1[1] >= h
+                if p1[0] > self.im.size[0] - w:  # keep the label on-image
+                    p1 = (self.im.size[0] - w, p1[1])
+                ytop = p1[1] - h if outside else p1[1]
+                self.draw.rectangle((p1[0], ytop, p1[0] + w + 1, ytop + h + 1), fill=color)
+                self.draw.text((p1[0], ytop), label, fill=txt_color, font=self.font)
+            return
         if rotated:
             pts = np.asarray(box, dtype=int)
             p1 = (int(pts[0][0]), int(pts[0][1]))
@@ -124,6 +165,18 @@ class Annotator:
         """Free text at xy, optionally on a filled background (reference plotting.py:379)."""
         cv2 = self.cv2
         xy = (int(xy[0]), int(xy[1]))
+        if self.pil:
+            if box_style:
+                w, h = self._text_wh(text)
+                self.draw.rectangle((xy[0], xy[1], xy[0] + w + 1, xy[1] + h + 1), fill=txt_color)
+                txt_color = (255, 255, 255)  # background color becomes the fill; text goes white
+            if "\n" in text:
+                _, h = self._text_wh(text)
+                for j, line in enumerate(text.split("\n")):
+                    self.draw.text((xy[0], xy[1] + j * h), line, fill=txt_color, font=self.font)
+            else:
+                self.draw.text(xy, text, fill=txt_color, font=self.font)
+            return
         if box_style:
             w, h = cv2.getTextSize(text, 0, fontScale=self.fs, thickness=self.tf)[0]
             h += 3
@@ -134,6 +187,9 @@ class Annotator:
 
     def rectangle(self, xy, fill=None, outline=None, width=1):
         """Plain rectangle; xy = (x1, y1, x2, y2)."""
+        if self.pil:
+            self.draw.rectangle(tuple(xy), fill, outline, width)
+            return
         p1, p2 = (int(xy[0]), int(xy[1])), (int(xy[2]), int(xy[3]))
         if fill is not None:
             self.cv2.rectangle(self.im, p1, p2, fill, -1)
@@ -142,19 +198,25 @@ class Annotator:
 
     def fromarray(self, im):
         """Replace the working image."""
-        self.im = np.ascontiguousarray(im)
+        if self.pil:
+            from PIL import Image, ImageDraw
+
+            self.im = im if isinstance(im, Image.Image) else Image.fromarray(im)
+            self.draw = ImageDraw.Draw(self.im)
+        else:
+            self.im = np.ascontiguousarray(im)
 
     def result(self) -> np.ndarray:
-        return self.im
+        return np.asarray(self.im)
 
     def show(self, title=None):
         """Display the annotated image (BGR -> RGB) via PIL."""
         from PIL import Image
 
-        Image.fromarray(self.im[..., ::-1]).show(title=title)
+        Image.fromarray(np.asarray(self.im)[..., ::-1]).show(title=title)
 
     def save(self, filename="image.jpg"):
-        self.cv2.imwrite(str(filename), self.im)
+        self.cv2.imwrite(str(filename), np.asarray(self.im))
 
     @staticmethod
     def get_bbox_dimension(bbox):
@@ -181,6 +243,81 @@ class Annotator:
         self.cv2.circle(self.im, center_point, self.tf * 2, pin_color, -1)
         self.cv2.circle(self.im, (cx, cy), self.tf * 2, color, -1)
         self.cv2.line(self.im, center_point, (cx, cy), color, self.tf)
+
+    # ---- solutions helpers (queue/parking/workout/distance apps; cv2-only,
+    # reference plotting.py:476-676) ----
+
+    def _boxed_text(self, im, text, center, txt_color, bg_color, margin):
+        """Text centered at `center` on a filled margin rectangle."""
+        (tw, th), _ = self.cv2.getTextSize(text, 0, self.fs, self.tf)
+        tx, ty = int(center[0]) - tw // 2, int(center[1]) + th // 2
+        self.cv2.rectangle(im, (tx - margin, ty - th - margin), (tx + tw + margin, ty + margin), bg_color, -1)
+        self.cv2.putText(im, text, (tx, ty), 0, self.fs, txt_color, self.tf, lineType=self.cv2.LINE_AA)
+
+    def queue_counts_display(self, label, points=None, region_color=(255, 255, 255), txt_color=(0, 0, 0)):
+        """Queue-count label centered on a region polygon (reference plotting.py:476)."""
+        cx = sum(p[0] for p in points) // len(points)
+        cy = sum(p[1] for p in points) // len(points)
+        self._boxed_text(self.im, label, (cx, cy), txt_color, region_color, margin=10)
+
+    def display_objects_labels(self, im0, text, txt_color, bg_color, x_center, y_center, margin):
+        """Parking-app style label at a box center (reference plotting.py:516)."""
+        self._boxed_text(im0, text, (x_center, y_center), txt_color, bg_color, margin)
+
+    def display_analytics(self, im0, text, txt_color, bg_color, margin):
+        """Right-aligned stacked stats labels (reference plotting.py:540)."""
+        hgap = int(im0.shape[1] * 0.02)
+        vgap = int(im0.shape[0] * 0.01)
+        y_off = 0
+        for label, value in text.items():
+            txt = f"{label}: {value}"
+            (tw, th), _ = self.cv2.getTextSize(txt, 0, self.fs, self.tf)
+            tw, th = max(tw, 5), max(th, 5)
+            tx = im0.shape[1] - tw - margin * 2 - hgap
+            ty = y_off + th + margin * 2 + vgap
+            self.cv2.rectangle(im0, (tx - margin * 2, ty - th - margin * 2),
+                               (tx + tw + margin * 2, ty + margin * 2), bg_color, -1)
+            self.cv2.putText(im0, txt, (tx, ty), 0, self.fs, txt_color, self.tf, lineType=self.cv2.LINE_AA)
+            y_off = ty + margin * 2
+
+    @staticmethod
+    def estimate_pose_angle(a, b, c):
+        """Angle at point b formed by keypoints a-b-c, in [0, 180] degrees
+        (reference plotting.py:569)."""
+        a, b, c = np.asarray(a), np.asarray(b), np.asarray(c)
+        rad = np.arctan2(c[1] - b[1], c[0] - b[0]) - np.arctan2(a[1] - b[1], a[0] - b[0])
+        deg = abs(float(rad) * 180.0 / np.pi)
+        return 360.0 - deg if deg > 180.0 else deg
+
+    def plot_workout_information(self, display_text, position, color=(104, 31, 17), txt_color=(255, 255, 255)):
+        """Text with filled background at `position`; returns the text height
+        (reference plotting.py:589)."""
+        (tw, th), _ = self.cv2.getTextSize(display_text, 0, self.fs, self.tf)
+        self.cv2.rectangle(self.im, (position[0], position[1] - th - 5),
+                           (position[0] + tw + 10, position[1] + 10 + self.tf), color, -1)
+        self.cv2.putText(self.im, display_text, position, 0, self.fs, txt_color, self.tf)
+        return th
+
+    def plot_angle_and_count_and_stage(self, angle_text, count_text, stage_text, center_kpt,
+                                       color=(104, 31, 17), txt_color=(255, 255, 255)):
+        """Stacked workout-monitor labels under a keypoint (reference plotting.py:614)."""
+        angle_text, count_text, stage_text = f" {angle_text:.2f}", f"Steps : {count_text}", f" {stage_text}"
+        x, y = int(center_kpt[0]), int(center_kpt[1])
+        ah = self.plot_workout_information(angle_text, (x, y), color, txt_color)
+        ch = self.plot_workout_information(count_text, (x, y + ah + 20), color, txt_color)
+        self.plot_workout_information(stage_text, (x, y + ah + ch + 40), color, txt_color)
+
+    def plot_distance_and_line(self, pixels_distance, centroids,
+                               line_color=(104, 31, 17), centroid_color=(255, 0, 255)):
+        """Distance readout + centroid-connecting line (reference plotting.py:642)."""
+        text = f"Pixels Distance: {pixels_distance:.2f}"
+        (tw, th), _ = self.cv2.getTextSize(text, 0, self.fs, self.tf)
+        self.cv2.rectangle(self.im, (15, 25), (15 + tw + 20, 25 + th + 20), line_color, -1)
+        self.cv2.putText(self.im, text, (25, 25 + th + 10), 0, self.fs, (255, 255, 255),
+                         self.tf, self.cv2.LINE_AA)
+        self.cv2.line(self.im, tuple(centroids[0]), tuple(centroids[1]), line_color, 3)
+        self.cv2.circle(self.im, tuple(centroids[0]), 6, centroid_color, -1)
+        self.cv2.circle(self.im, tuple(centroids[1]), 6, centroid_color, -1)
 
 
 def plot_images(images: np.ndarray, batch_idx, cls, bboxes, paths=None, fname="batch.jpg", names=None,
