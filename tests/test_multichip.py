@@ -124,19 +124,13 @@ def test_predictor_shards_on_virtual_mesh(tmp_path):
     assert len(results) == 8
 
 
-def test_trainer_auto_shards_on_virtual_mesh(tmp_path):
-    """Full DetectionTrainer on the 8-device CPU mesh: batch 8 auto-shards
-    (trainer mesh setup + donated sharded buffers + the async checkpoint saver
-    all working together). coco8 has only 4 train images, so an 8-image copy
-    makes the batch mesh-divisible; the non-divisible tail-batch fallback has
-    its own test below."""
+def _make_8img_dataset(tmp_path):
+    """8-image dataset (coco8 train images twice, distinct names) so batch 8 is
+    mesh-divisible on the virtual 8-device CPU mesh."""
     import shutil
 
     from tests.conftest import REFERENCE
 
-    from yololite_tpu.engine.trainer import DetectionTrainer
-
-    # build an 8-image dataset: coco8 train images twice, under distinct names
     root = tmp_path / "coco16"
     (root / "images" / "train").mkdir(parents=True)
     (root / "labels" / "train").mkdir(parents=True)
@@ -153,6 +147,18 @@ def test_trainer_auto_shards_on_virtual_mesh(tmp_path):
     lines = [f"path: {root}", "train: images/train", "val: images/train", "names:"]
     lines += [f"  {i}: {n}" for i, n in names.items()]
     yaml_path.write_text("\n".join(lines) + "\n")
+    return yaml_path
+
+
+def test_trainer_auto_shards_on_virtual_mesh(tmp_path):
+    """Full DetectionTrainer on the 8-device CPU mesh: batch 8 auto-shards
+    (trainer mesh setup + donated sharded buffers + the async checkpoint saver
+    all working together). coco8 has only 4 train images, so an 8-image copy
+    makes the batch mesh-divisible; the non-divisible tail-batch fallback has
+    its own test below."""
+    from yololite_tpu.engine.trainer import DetectionTrainer
+
+    yaml_path = _make_8img_dataset(tmp_path)
 
     t = DetectionTrainer(overrides={
         "model": "yolo11n.yaml", "data": str(yaml_path),
@@ -184,3 +190,42 @@ def test_shard_batch_tail_fallback():
     w = replicate_tree(mesh, jnp.ones((8,), jnp.float32))
     y = jax.jit(lambda w, x: x @ w)(w, x)
     np.testing.assert_allclose(np.asarray(y), 8.0)
+
+
+def test_trainer_mesh_loss_curve_matches_single_device(tmp_path, monkeypatch):
+    """Loss curve over 2 epochs on the 8-device mesh matches a single-device run
+    within float tolerance (stronger than one-step grad parity: optimizer, EMA
+    and BN-state updates all compose across epochs)."""
+    import csv
+
+    from yololite_tpu.engine import trainer as trainer_mod
+
+    yaml_path = _make_8img_dataset(tmp_path)
+    # deterministic pipeline: identical seeds + all stochastic augs off
+    overrides = {
+        "model": "yolo11n.yaml", "data": str(yaml_path),
+        "epochs": 2, "imgsz": 64, "batch": 8, "workers": 0, "mode": "train",
+        "project": str(tmp_path), "val": False, "plots": False, "save": False,
+        "close_mosaic": 0, "optimizer": "SGD", "seed": 7,
+        "mosaic": 0.0, "mixup": 0.0, "copy_paste": 0.0, "degrees": 0.0,
+        "translate": 0.0, "scale": 0.0, "shear": 0.0, "perspective": 0.0,
+        "flipud": 0.0, "fliplr": 0.0, "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0,
+    }
+
+    def run(name, single_device):
+        if single_device:  # force the no-mesh path
+            monkeypatch.setattr(trainer_mod, "make_mesh", lambda *a, **k: None)
+        else:
+            monkeypatch.undo()
+        t = trainer_mod.DetectionTrainer(overrides={**overrides, "name": name})
+        t.train()
+        assert (t.mesh is None) == single_device
+        with open(t.csv) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 2
+        return np.array([[float(r["box_loss"]), float(r["cls_loss"]), float(r["dfl_loss"])]
+                         for r in rows])
+
+    mesh_curve = run("mesh8", single_device=False)
+    single_curve = run("single", single_device=True)
+    np.testing.assert_allclose(mesh_curve, single_curve, rtol=2e-2, atol=2e-2)

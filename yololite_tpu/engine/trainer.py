@@ -165,6 +165,11 @@ class DetectionTrainer:
         self.loss_names = ["box_loss", "cls_loss", "dfl_loss"]
         self.max_gt = 0
         self.mesh = None
+        # compile-count hygiene: GT buckets x multi-scale sizes x tail shapes each
+        # compile one step variant; track the distinct keys so the count is
+        # visible in the log and multi-scale can coarsen its grid if it explodes
+        self._step_shapes = set()
+        self._ms_quant = 32  # multi-scale size grid (reference trainer.py:426-439 uses /32)
         self._saver = _AsyncSaver()
         self._resume_blob = getattr(self, "_resume_blob", None)
 
@@ -411,6 +416,7 @@ class DetectionTrainer:
                 m_bucket = min(self.max_gt, 1 << (need - 1).bit_length())
                 targets = build_targets(batch, batch["img"].shape[0], batch["img"].shape[1:3], m_bucket)
                 targets = shard_batch(self.mesh, targets)
+                self._track_compiles(batch["img"].shape, m_bucket)
 
                 grad_sum, self.state, total, items = self._grad_step(
                     self.params, self.state, grad_sum, images,
@@ -448,6 +454,8 @@ class DetectionTrainer:
                 self.stop_training |= (time.time() - train_time_start) > self.args.time * 3600
 
             self.save_metrics(epoch, np.asarray(tloss) if tloss is not None else None)
+            LOGGER.info(f"compiled train-step variants so far: {len(self._step_shapes)} "
+                        f"(batch-shape x GT-bucket keys)")
             if self.args.save:
                 self.save_model(epoch)
             epoch_time_start = time.time()
@@ -458,17 +466,35 @@ class DetectionTrainer:
     # ---- hooks ----
 
     def preprocess_batch(self, batch):
-        """Multi-scale resize on host (reference trainer.py:423-440)."""
+        """Multi-scale resize on host (reference trainer.py:423-440).
+
+        Sizes snap to self._ms_quant (32 like the reference; coarsened to 64 if
+        the jit cache grows past a dozen step variants — each distinct size
+        compiles its own XLA graph).
+        """
         if self.args.multi_scale:
             import cv2
 
+            q = self._ms_quant
             imgsz = self.imgsz if isinstance(self.imgsz, int) else self.imgsz[0]
-            sz = (np.random.randint(int(imgsz * 0.5), int(imgsz * 1.5 + 32)) // 32) * 32
+            sz = (np.random.randint(int(imgsz * 0.5), int(imgsz * 1.5 + 32)) // q) * q
             if sz != batch["img"].shape[1]:
                 batch["img"] = np.stack(
                     [cv2.resize(im, (sz, sz), interpolation=cv2.INTER_LINEAR) for im in batch["img"]]
                 )
         return batch
+
+    def _track_compiles(self, images_shape, m_bucket):
+        """Record the (batch shape, GT bucket) jit-cache key; coarsen multi-scale
+        when the compiled-variant count exceeds ~a dozen."""
+        self._step_shapes.add((*images_shape, m_bucket))
+        n = len(self._step_shapes)
+        if self.args.multi_scale and n > 12 and self._ms_quant < 64:
+            self._ms_quant = 64
+            LOGGER.warning(
+                f"multi-scale training compiled {n} step variants; coarsening the "
+                f"size grid from /32 to /64 to bound the jit cache"
+            )
 
     def validate(self):
         v = self.validator
