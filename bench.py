@@ -89,7 +89,7 @@ def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False, mode: 
     return best, best_bs
 
 
-BUDGET_S = 450  # wall budget for the optional stages: the JSON line must always print
+BUDGET_S = 800  # wall budget for the optional stages: the JSON line must always print
 
 
 def main():
@@ -118,12 +118,13 @@ def main():
         return r
 
     # priority order under the budget: m-scale (BASELINE metric names n/m) first,
-    # then the serving-mode extras
+    # then the serving-mode extras; all four stages must report (r2 budget
+    # starved n-serve, VERDICT weak #2 -> shorter extras iters + bigger budget)
     rate_m = stage("yolo11m_img_s", lambda: bench_scale("m", (64,)), "yolo11m: {:.1f} img/s")
-    stage("yolo11m_int8_img_s", lambda: bench_scale("m", (64,), int8=True),
-          "yolo11m int8 serve: {:.1f} img/s")
-    stage("yolo11n_serve_img_s", lambda: bench_scale("n", (128,), mode="serve"),
+    stage("yolo11n_serve_img_s", lambda: bench_scale("n", (128,), mode="serve", iters=12),
           "yolo11n serve mode: {:.1f} img/s")
+    stage("yolo11m_int8_img_s", lambda: bench_scale("m", (64,), int8=True, iters=12),
+          "yolo11m int8 serve: {:.1f} img/s")
 
     sol_n = NOMINAL_TFLOPS / GFLOPS["n"]  # ~29.8k img/s nominal-spec bound
     dev_sol_n = MEASURED_TFLOPS / GFLOPS["n"]
