@@ -55,15 +55,14 @@ def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False, mode: 
     def loop(params, state, images, salt):
         def body(c, _):
             feats = model.apply(params, state, images + c.astype(images.dtype), train=False)
-            # bf16 scores through decode+NMS (boxes fp32 for IoU accuracy) --
-            # the shipped predict graph (the Pallas fused decode+select measured
-            # slower on v5e so far; see docs/PERF.md)
-            from yololite_tpu.ops.decode import decode_detections
-            from yololite_tpu.ops.nms import non_max_suppression
+            # the shipped predict graph (engine/predictor.py): select-first fused
+            # NMS -- per-level top-k, segment-matmul DFL, narrow gathers,
+            # fixpoint greedy suppression (docs/PERF.md round 3)
+            from yololite_tpu.ops.nms import nms_from_feats
 
-            boxes, scores = decode_detections(feats, model.strides, model.nc, model.reg_max, xywh=False)
-            dets = non_max_suppression(boxes.astype(jnp.float32), scores, conf_thres=0.25, iou_thres=0.7,
-                                       max_det=300, max_cand=512, mode=mode)
+            dets = nms_from_feats(feats, model.strides, model.nc, model.reg_max,
+                                  conf_thres=0.25, iou_thres=0.7, max_det=300,
+                                  max_cand=256, mode=mode, half=True)
             return (jnp.sum(dets) * 1e-12).astype(jnp.float32), None
 
         out, _ = jax.lax.scan(body, salt, None, length=iters)

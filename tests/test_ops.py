@@ -160,3 +160,65 @@ def test_nms_serve_mode_runs():
     assert out.shape == (2, 50, 6)
     got = out[out[..., 4] > 0]
     assert (got[:, 4] > 0.2).all()
+
+
+@pytest.mark.parametrize("half", [False, True], ids=["f32", "bf16"])
+def test_nms_from_feats_matches_decode_then_nms(half):
+    """Late-decode NMS (select top-K first, decode K boxes) is numerically
+    identical to decode_detections + non_max_suppression on the same maps."""
+    import jax
+    import jax.numpy as jnp
+
+    from yololite_tpu.ops.decode import decode_detections
+    from yololite_tpu.ops.nms import nms_from_feats, non_max_suppression
+
+    nc, reg_max, strides = 8, 16, (8, 16, 32)
+    B = 3
+    rng = np.random.default_rng(0)
+    feats = [
+        jnp.asarray(rng.standard_normal((B, s, s, 4 * reg_max + nc)).astype(np.float32) * 2)
+        for s in (16, 8, 4)
+    ]
+    if half:
+        feats = [f.astype(jnp.bfloat16) for f in feats]
+    else:
+        feats = [f.astype(jnp.float32) for f in feats]
+
+    kw = dict(conf_thres=0.05, iou_thres=0.5, max_det=40, max_cand=128)
+    if not half:
+        # f32: pipeline must match the reference path tightly (the segment-matmul
+        # DFL rounds differently at ~1e-6 relative -> ~1e-3 px)
+        ffull = [f.astype(jnp.float32) for f in feats]
+        boxes, scores = decode_detections(ffull, strides, nc, reg_max, xywh=False)
+        ref = np.asarray(non_max_suppression(boxes, scores, multi_label=False, **kw))
+        out = np.asarray(nms_from_feats(feats, strides, nc, reg_max, half=half, **kw))
+        np.testing.assert_allclose(out[..., 4:], ref[..., 4:], rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(out[..., :4], ref[..., :4], atol=1e-3)
+
+        cm = jnp.asarray(np.arange(nc) % 2 == 0)
+        ref2 = np.asarray(non_max_suppression(boxes, scores, multi_label=False,
+                                              class_mask=cm, agnostic=True, **kw))
+        out2 = np.asarray(nms_from_feats(feats, strides, nc, reg_max, half=half,
+                                         class_mask=cm, agnostic=True, **kw))
+        np.testing.assert_allclose(out2[..., 4:], ref2[..., 4:], rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(out2[..., :4], ref2[..., :4], atol=1e-3)
+        return
+
+    # bf16 half path: build the oracle with the pipeline's own box math (f32
+    # segment-matmul DFL of the bf16 logits + standard NMS on bf16 scores) —
+    # then selection, suppression and ranking must match bit-tightly
+    from yololite_tpu.ops.boxes import dist2bbox, make_anchors
+    from yololite_tpu.ops.decode import dfl_expectation_mm
+
+    B = feats[0].shape[0]
+    bl = jnp.concatenate([f[..., : 4 * reg_max].reshape(B, -1, 4 * reg_max) for f in feats], 1)
+    scores = jnp.concatenate(
+        [jax.nn.sigmoid(f[..., 4 * reg_max:]).reshape(B, -1, nc) for f in feats], 1
+    )  # bf16, same values the pipeline's sigmoid(max) selection sees
+    shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    anchors, stride_t = make_anchors(shapes, strides, 0.5)
+    boxes_all = dist2bbox(dfl_expectation_mm(bl, reg_max), anchors[None], xywh=False) * stride_t[None]
+    ref = np.asarray(non_max_suppression(boxes_all.astype(jnp.float32), scores,
+                                         multi_label=False, **kw))
+    out = np.asarray(nms_from_feats(feats, strides, nc, reg_max, half=True, **kw))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

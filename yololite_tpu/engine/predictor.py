@@ -126,6 +126,22 @@ class DetectionPredictor:
         # flip USE_FUSED_DECODE when a measured win lands.
         use_fused = USE_FUSED_DECODE and not augment and class_mask is None
 
+        # top-K candidate pool for the single-label predict path: 256 covers any
+        # realistic above-conf count at the 0.25 default (measured sweep
+        # docs/PERF.md round 3; exact-parity tests gate it)
+        pred_max_cand = 256
+
+        def _single_label(params, state, x):
+            """Non-TTA predict graph: fused select-first NMS over the raw maps."""
+            from yololite_tpu.ops.nms import nms_from_feats
+
+            feats = model.apply(params, state, x, train=False)
+            return nms_from_feats(
+                feats, strides, nc, reg_max, conf_thres=conf, iou_thres=iou,
+                max_det=max_det, max_cand=pred_max_cand, agnostic=agnostic,
+                class_mask=class_mask, half=half,
+            )
+
         @jax.jit
         def _infer(params, state, images):
             x = images.astype(jnp.bfloat16) if half else images
@@ -137,7 +153,9 @@ class DetectionPredictor:
                     feats, strides, nc, reg_max, conf_thres=conf, iou_thres=iou,
                     max_det=max_det, max_cand=512, agnostic=agnostic,
                 )
-            boxes, scores = (_forward_tta if augment else _forward_decode)(params, state, x)
+            if not augment:
+                return _single_label(params, state, x)
+            boxes, scores = _forward_tta(params, state, x)
             return non_max_suppression(
                 boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det,
                 max_cand=512, multi_label=False, agnostic=agnostic, class_mask=class_mask,
@@ -161,7 +179,9 @@ class DetectionPredictor:
                     feats, strides, nc, reg_max, conf_thres=conf, iou_thres=iou,
                     max_det=max_det, max_cand=512, agnostic=agnostic,
                 )
-            boxes, scores = (_forward_tta if augment else _forward_decode)(params, state, x)
+            if not augment:
+                return _single_label(params, state, x)
+            boxes, scores = _forward_tta(params, state, x)
             return non_max_suppression(
                 boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det,
                 max_cand=512, multi_label=False, agnostic=agnostic, class_mask=class_mask,

@@ -79,6 +79,31 @@ def _fast_keep(shifted: jnp.ndarray, valid: jnp.ndarray, iou_thres: float, chunk
     return valid & (max_iou <= iou_thres)
 
 
+def _fixpoint_keep(shifted: jnp.ndarray, valid: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
+    """Exact greedy keep via fixpoint iteration (batched; materialized IoU).
+
+    The greedy recurrence keep[j] = valid[j] and no kept i<j suppresses j has a
+    unique solution; iterating g(k)[j] = valid[j] & !any(i<j: k[i] & iou>thr)
+    makes at least one more prefix index final per sweep, so the while_loop
+    converges to exactly the sequential-greedy mask — in practice in ~3-6
+    sweeps of cheap (B, K, K) masked reductions instead of K serial scan steps
+    (measured 1.8 -> ~0.9 ms at K=256, bs=128; docs/PERF.md round 3). Only used
+    when the (B, K, K) IoU fits comfortably in HBM (K <= ~1024).
+    """
+    iou = jax.vmap(box_iou)(shifted.astype(jnp.float32), shifted.astype(jnp.float32))
+    k = shifted.shape[1]
+    tri = jnp.arange(k)[:, None] < jnp.arange(k)[None, :]  # i suppresses j only if i < j
+    sup = (iou > iou_thres) & tri[None]
+
+    def body(carry):
+        keep, _ = carry
+        new = valid & ~jnp.any(sup & keep[:, :, None], axis=1)
+        return new, jnp.any(new != keep)
+
+    keep, _ = jax.lax.while_loop(lambda c: c[1], body, (valid, jnp.bool_(True)))
+    return keep
+
+
 def _select_candidates(boxes, scores, conf_thres, max_cand, multi_label, class_mask, approx=False):
     """Per-image: gate + top-K candidate selection -> (vals, boxes_k, cls, valid).
 
@@ -113,20 +138,25 @@ def _select_candidates(boxes, scores, conf_thres, max_cand, multi_label, class_m
 
 
 def _finalize(cand_boxes, vals, cls, keep, max_det):
-    """Per-image: rank kept candidates, emit padded (max_det, 6)."""
-    k = vals.shape[0]
-    final_scores = jnp.where(keep, vals, -1.0)
-    out_vals, oidx = jax.lax.top_k(final_scores, min(max_det, k))
-    ok = out_vals > 0
-    dt = cand_boxes.dtype
-    out = jnp.concatenate(
-        [cand_boxes[oidx], jnp.where(ok, out_vals, 0.0).astype(dt)[:, None], cls[oidx].astype(dt)[:, None]],
+    """Per-image: emit the kept candidates as a padded (max_det, 6) block.
+
+    Candidates arrive score-descending from selection, and suppression never
+    reorders, so ranking reduces to an order-preserving compaction: each kept
+    row scatters to rank cumsum(keep)-1 via a tiny one-hot matmul (no second
+    top_k sort; measured -0.65 ms at bs=128, docs/PERF.md round 3). Output is
+    identical to the previous top_k-based ranking, including tie order and the
+    all-zero padding rows.
+    """
+    keep = keep & (vals > 0)
+    pos = jnp.cumsum(keep) - 1
+    pos = jnp.where(keep & (pos < max_det), pos, max_det)  # overflow -> dropped row
+    oh = jax.nn.one_hot(pos, max_det + 1, dtype=jnp.float32)  # (K, max_det+1)
+    rows = jnp.concatenate(
+        [cand_boxes.astype(jnp.float32), vals.astype(jnp.float32)[:, None],
+         cls.astype(jnp.float32)[:, None]],
         axis=-1,
     )
-    out = jnp.where(ok[:, None], out, 0.0)
-    if out.shape[0] < max_det:
-        out = jnp.pad(out, ((0, max_det - out.shape[0]), (0, 0)))
-    return out
+    return oh[:, :max_det].T @ rows
 
 
 @functools.partial(
@@ -172,10 +202,120 @@ def non_max_suppression(
         keep = greedy_nms_keep_pallas(iou, valid, iou_thres) > 0
     elif mode in ("fast", "serve"):
         keep = jax.vmap(functools.partial(_fast_keep, iou_thres=iou_thres))(shifted, valid)
-    else:
+    elif shifted.shape[1] <= 1024:  # exact greedy: fixpoint sweeps beat the serial scan
+        keep = _fixpoint_keep(shifted, valid, iou_thres)
+    else:  # large K (validator max_cand=8192): (B,K,K) IoU won't fit; chunked scan
         keep = jax.vmap(functools.partial(_greedy_keep, iou_thres=iou_thres))(shifted, valid)
 
     return jax.vmap(functools.partial(_finalize, max_det=max_det))(cand_boxes, vals, cls, keep)
+
+
+def nms_from_feats(
+    feats,
+    strides,
+    nc: int,
+    reg_max: int = 16,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    max_cand: int = 512,
+    agnostic: bool = False,
+    class_mask: Optional[jnp.ndarray] = None,
+    mode: str = "greedy",
+    half: bool = False,
+) -> jnp.ndarray:
+    """Fused single-label NMS over raw Detect maps -> padded (B, max_det, 6).
+
+    The measured-fastest exact pipeline on v5e (docs/PERF.md round 3; 21.6 ->
+    16.4 ms/batch e2e at bs=128 vs decode_detections + non_max_suppression):
+
+    1. per-level sigmoid(max(logits)) + argmax, fused into the head epilogues
+       (no 144-wide feature concat; sigmoid(max) == max(sigmoid) bitwise);
+    2. exact per-level top-k then a merge top-k (each global top-K element is
+       in its level's top-K, and level-major merge order preserves lax.top_k's
+       lowest-index tie rule) — same (vals, bidx) as one 8400-row top_k;
+    3. DFL for all anchors in the MXU-friendly segment-matmul form
+       (decode.dfl_expectation_mm), then NARROW (K,4)/(K,) gathers — wide
+       (K,64) row-gathers are the pathology on TPU (~3.7 ms);
+    4. anchor centers/strides rebuilt arithmetically from the candidate index
+       (level offsets are static) instead of gathered;
+    5. fixpoint-sweep greedy suppression + compaction finalize (_finalize).
+
+    Matches decode_detections + non_max_suppression(multi_label=False) to
+    ~1e-6 relative (the segment-matmul DFL rounds differently); selection
+    order, suppression and ranking are exactly equivalent. Replaces the
+    reference hot loop's decode-everything-then-host-NMS (predictor.py:149-225,
+    head.py:95-126, utils/ops.py:138-273).
+    """
+    from yololite_tpu.ops.decode import dfl_expectation_mm
+
+    B = feats[0].shape[0]
+    shapes = [(f.shape[1], f.shape[2]) for f in feats]
+
+    # 1+2: per-level gate/reduce/top-k, then merge. The max/argmax run over the
+    # sigmoid (not raw logits): bf16 sigmoid is not strictly monotone, so this
+    # keeps bit-identical class/tie decisions with the decode_detections path.
+    k = min(max_cand, sum(h * w for h, w in shapes))
+    vs, ids, clss = [], [], []
+    off = 0
+    for f in feats:
+        cl = f[..., 4 * reg_max:]
+        s_full = jax.nn.sigmoid(cl if half else cl.astype(jnp.float32))
+        if class_mask is not None:
+            s_full = jnp.where(class_mask, s_full, 0.0)
+        s = jnp.max(s_full, axis=-1).reshape(B, -1)  # (B, H*W)
+        clss.append(jnp.argmax(s_full, axis=-1).reshape(B, -1))
+        kl = min(k, s.shape[1])
+        v, i = jax.lax.top_k(jnp.where(s > conf_thres, s, -1.0), kl)
+        vs.append(v)
+        ids.append(i + off)
+        off += s.shape[1]
+    vals, j = jax.lax.top_k(jnp.concatenate(vs, axis=1), k)  # (B, K)
+    bidx = jnp.take_along_axis(jnp.concatenate(ids, axis=1), j, axis=1)
+
+    # 3: decode all anchors (MXU segment matmuls), gather only narrow results
+    cls_all = jnp.concatenate(clss, axis=1).astype(jnp.float32)
+    box_logits = jnp.concatenate(
+        [f[..., : 4 * reg_max].reshape(B, -1, 4 * reg_max) for f in feats], axis=1
+    )
+    dist_all = dfl_expectation_mm(box_logits, reg_max)  # (B, A, 4) f32
+    dist = jax.vmap(lambda d, i: d[i])(dist_all, bidx)  # narrow (K, 4) gather
+    cls_k = jax.vmap(lambda c, i: c[i])(cls_all, bidx)
+
+    # 4: arithmetic anchors (grid x/y + 0.5, per-level stride) from bidx
+    offs, Ws, Ss = [], [], []
+    o = 0
+    for (h, w), s_ in zip(shapes, strides):
+        offs.append(o)
+        Ws.append(w)
+        Ss.append(int(s_))
+        o += h * w
+    lvl = jnp.zeros_like(bidx)
+    for i in range(1, len(offs)):
+        lvl = jnp.where(bidx >= offs[i], i, lvl)
+    off_l = sum(jnp.where(lvl == i, offs[i], 0) for i in range(len(offs)))
+    W_l = sum(jnp.where(lvl == i, Ws[i], 0) for i in range(len(offs)))
+    S_l = sum(jnp.where(lvl == i, Ss[i], 0) for i in range(len(offs))).astype(jnp.float32)
+    local = bidx - off_l
+    ax = (local % W_l).astype(jnp.float32) + 0.5
+    ay = (local // W_l).astype(jnp.float32) + 0.5
+    cand_boxes = jnp.stack(
+        [(ax - dist[..., 0]) * S_l, (ay - dist[..., 1]) * S_l,
+         (ax + dist[..., 2]) * S_l, (ay + dist[..., 3]) * S_l],
+        axis=-1,
+    )
+    valid = vals > jnp.maximum(conf_thres, 0.0)
+
+    # 5: suppression + compaction
+    offset = jnp.zeros_like(cls_k) if agnostic else cls_k * MAX_WH
+    shifted = cand_boxes + offset[..., None]
+    if mode in ("fast", "serve"):
+        keep = jax.vmap(functools.partial(_fast_keep, iou_thres=iou_thres))(shifted, valid)
+    elif k <= 1024:
+        keep = _fixpoint_keep(shifted, valid, iou_thres)
+    else:
+        keep = jax.vmap(functools.partial(_greedy_keep, iou_thres=iou_thres))(shifted, valid)
+    return jax.vmap(functools.partial(_finalize, max_det=max_det))(cand_boxes, vals, cls_k, keep)
 
 
 def fused_decode_nms(
