@@ -55,6 +55,20 @@ def _greedy_keep(shifted: jnp.ndarray, valid: jnp.ndarray, iou_thres: float, chu
     return keep
 
 
+def _fast_keep_batched(shifted: jnp.ndarray, valid: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
+    """One-shot matrix NMS on a materialized (B, K, K) IoU (K <= ~1024).
+
+    Same Fast-NMS semantics as _fast_keep (suppressed boxes still suppress),
+    one dense sweep instead of a scan -- the serve-mode analogue of
+    _fixpoint_keep's materialized form.
+    """
+    iou = jax.vmap(box_iou)(shifted.astype(jnp.float32), shifted.astype(jnp.float32))
+    k = shifted.shape[1]
+    tri = jnp.arange(k)[:, None] < jnp.arange(k)[None, :]
+    max_iou = jnp.max(jnp.where(tri[None] & valid[:, :, None], iou, 0.0), axis=1)
+    return valid & (max_iou <= iou_thres)
+
+
 def _fast_keep(shifted: jnp.ndarray, valid: jnp.ndarray, iou_thres: float, chunk: int = 64) -> jnp.ndarray:
     """One-shot matrix NMS (Fast-NMS): suppressed boxes still suppress others.
 
@@ -201,7 +215,8 @@ def non_max_suppression(
         iou = jax.vmap(box_iou)(shifted, shifted)
         keep = greedy_nms_keep_pallas(iou, valid, iou_thres) > 0
     elif mode in ("fast", "serve"):
-        keep = jax.vmap(functools.partial(_fast_keep, iou_thres=iou_thres))(shifted, valid)
+        keep = (_fast_keep_batched(shifted, valid, iou_thres) if shifted.shape[1] <= 1024 else
+                jax.vmap(functools.partial(_fast_keep, iou_thres=iou_thres))(shifted, valid))
     elif shifted.shape[1] <= 1024:  # exact greedy: fixpoint sweeps beat the serial scan
         keep = _fixpoint_keep(shifted, valid, iou_thres)
     else:  # large K (validator max_cand=8192): (B,K,K) IoU won't fit; chunked scan
@@ -310,7 +325,8 @@ def nms_from_feats(
     offset = jnp.zeros_like(cls_k) if agnostic else cls_k * MAX_WH
     shifted = cand_boxes + offset[..., None]
     if mode in ("fast", "serve"):
-        keep = jax.vmap(functools.partial(_fast_keep, iou_thres=iou_thres))(shifted, valid)
+        keep = (_fast_keep_batched(shifted, valid, iou_thres) if k <= 1024 else
+                jax.vmap(functools.partial(_fast_keep, iou_thres=iou_thres))(shifted, valid))
     elif k <= 1024:
         keep = _fixpoint_keep(shifted, valid, iou_thres)
     else:
