@@ -73,15 +73,16 @@ class v8DetectionLoss:
     def bbox_decode(self, anchor_points: jnp.ndarray, pred_dist: jnp.ndarray) -> jnp.ndarray:
         """DFL expectation -> xyxy boxes in anchor (stride) units.
 
-        Softmax runs in fp32 regardless of the input dtype (torch autocast lists
-        softmax as an fp32 op); with bf16 inputs the upcast fuses into the read,
-        so the (B,A,4,reg_max) tensor never materializes in fp32.
+        Uses the MXU segment-matmul expectation (decode.dfl_expectation_mm):
+        the (B,A,4,reg_max) reshape of the softmax form breaks TPU's 128-lane
+        tiling (measured on the inference tail, docs/PERF.md round 3). Runs in
+        fp32 regardless of the input dtype (torch autocast lists softmax as an
+        fp32 op); with bf16 inputs the upcast fuses into the read.
         """
         if self.use_dfl:
-            b, a, c = pred_dist.shape
-            x = pred_dist.reshape(b, a, 4, c // 4).astype(jnp.float32)
-            proj = jnp.arange(self.reg_max, dtype=jnp.float32)
-            pred_dist = jnp.einsum("bafr,r->baf", jax.nn.softmax(x, axis=-1), proj)
+            from yololite_tpu.ops.decode import dfl_expectation_mm
+
+            pred_dist = dfl_expectation_mm(pred_dist, self.reg_max)
         else:
             pred_dist = pred_dist.astype(jnp.float32)
         return dist2bbox(pred_dist, anchor_points, xywh=False)
@@ -89,23 +90,37 @@ class v8DetectionLoss:
     def _df_loss(self, pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         """Distribution focal loss (reference loss.py:21-36).
 
-        pred_dist: (B, A, 4, reg_max) logits; target: (B, A, 4) continuous bins.
-        Returns (B, A, 1): mean over the 4 sides.
+        pred_dist: (B, A, 4*reg_max) flat logits; target: (B, A, 4) continuous
+        bins. Returns (B, A, 1): mean over the 4 sides.
+
+        Stays in the native 4*reg_max-wide lane layout: per-side logsumexp via a
+        (4R -> 4) segment matmul with a shared per-row max shift (valid for each
+        block since it upper-bounds every block max), and the target-bin logit
+        extracted with a disjoint-block multi-hot — no (B,A,4,R) log_softmax
+        materialization, no gather.
         """
-        target = target.clip(0, self.reg_max - 1 - 0.01)
+        R = self.reg_max
+        x = pred_dist.astype(jnp.float32)  # (B, A, 4R)
+        target = target.clip(0, R - 1 - 0.01)
         tl = target.astype(jnp.int32)
         tr = tl + 1
-        wl = tr.astype(target.dtype) - target
+        wl = (tr.astype(jnp.float32) - target.astype(jnp.float32))
         wr = 1 - wl
-        logp = jax.nn.log_softmax(pred_dist.astype(jnp.float32), axis=-1)
-        # one-hot multiply-sum == gather (bit-exact: zeros add exactly), but fuses on
-        # TPU where take_along_axis lowers to a slow gather
-        oh_l = jax.nn.one_hot(tl, self.reg_max, dtype=logp.dtype)
-        oh_r = jax.nn.one_hot(tr.clip(max=self.reg_max - 1), self.reg_max, dtype=logp.dtype)
-        ce_l = -(logp * oh_l).sum(-1)
-        ce_r = -(logp * oh_r).sum(-1)
-        wl = wl.astype(logp.dtype)
-        wr = wr.astype(logp.dtype)
+
+        c = jnp.max(x, axis=-1, keepdims=True)
+        e = jnp.exp(x - c)
+        seg = jnp.repeat(jnp.eye(4, dtype=jnp.float32), R, axis=0)  # (4R, 4)
+        lse = jnp.log(e @ seg) + c  # (B, A, 4) per-side logsumexp
+
+        base = (jnp.arange(4, dtype=jnp.int32) * R)[None, None, :]
+        bins = jnp.arange(4 * R, dtype=jnp.int32)
+        # one 1 per side block; compare+sum fuses without materializing (B,A,4,4R)
+        mh_l = (bins[None, None, None, :] == (tl + base)[..., None]).astype(jnp.float32).sum(-2)
+        mh_r = (bins[None, None, None, :] == (tr.clip(max=R - 1) + base)[..., None]).astype(jnp.float32).sum(-2)
+        x_l = (x * mh_l) @ seg  # (B, A, 4): the chosen bin's logit per side
+        x_r = (x * mh_r) @ seg
+        ce_l = lse - x_l
+        ce_r = lse - x_r
         return (ce_l * wl + ce_r * wr).mean(-1, keepdims=True)
 
     def __call__(self, feats: List[jnp.ndarray], targets: Dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -151,9 +166,7 @@ class v8DetectionLoss:
 
         if self.use_dfl:
             target_ltrb = bbox2dist(anchor_points, target_bboxes, self.reg_max - 1)
-            df = self._df_loss(
-                pred_distri.reshape(batch_size, A, 4, self.reg_max), target_ltrb
-            ).squeeze(-1)
+            df = self._df_loss(pred_distri, target_ltrb).squeeze(-1)
             loss_dfl = (df * weight).sum() / target_scores_sum
         else:
             loss_dfl = jnp.zeros((), jnp.float32)
