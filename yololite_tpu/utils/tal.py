@@ -152,18 +152,21 @@ class TaskAlignedAssigner:
         topk_metrics, topk_idxs = topk_hierarchical(metrics, self.topk)  # (B,M,K)
         topk_mask = (mask_gt > 0)  # (B,M,1)
         topk_idxs = jnp.where(topk_mask, topk_idxs, 0)
-        bidx = jnp.arange(B)[:, None, None]
-        midx = jnp.arange(M)[None, :, None]
-        count = jnp.zeros((B, M, A), jnp.int32).at[bidx, midx, topk_idxs].add(1)
+        # occurrence count as a fused compare-reduce over the K axis (TPU scatter
+        # lowers as badly as gather; the (B,M,K,A) compare never materializes)
+        count = (topk_idxs[..., None] == jnp.arange(A, dtype=topk_idxs.dtype)).sum(-2, dtype=jnp.int32)
         count = jnp.where(count > 1, 0, count)  # kills the index-0 pileup of masked rows
         return count.astype(metrics.dtype)
 
     def _get_targets(self, gt_labels, gt_bboxes, target_gt_idx, fg_mask):
-        B, M = gt_labels.shape[:2]
-        A = target_gt_idx.shape[1]
+        """Per-anchor GT lookup as one-hot matmuls over the small M axis (exact
+        gather semantics: one 1.0 per row, zeros add exactly; MXU instead of a
+        (B,A)-wide gather)."""
         labels_flat = gt_labels.squeeze(-1).astype(jnp.int32).clip(0)  # (B,M)
-        target_labels = jnp.take_along_axis(labels_flat, target_gt_idx, axis=1)  # (B,A)
-        target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)  # (B,A,4)
-        one_hot = jax.nn.one_hot(target_labels, self.num_classes, dtype=gt_bboxes.dtype)  # (B,A,nc)
-        target_scores = jnp.where((fg_mask > 0)[..., None], one_hot, 0.0)
-        return target_labels, target_bboxes, target_scores
+        oh_gt = jax.nn.one_hot(target_gt_idx, labels_flat.shape[1], dtype=jnp.float32)  # (B,A,M)
+        target_labels = jnp.einsum("bam,bm->ba", oh_gt, labels_flat.astype(jnp.float32)).astype(jnp.int32)
+        target_bboxes = jnp.einsum("bam,bmf->baf", oh_gt, gt_bboxes.astype(jnp.float32))
+        cls_oh = jax.nn.one_hot(labels_flat, self.num_classes, dtype=jnp.float32)  # (B,M,nc)
+        target_scores = jnp.einsum("bam,bmc->bac", oh_gt, cls_oh)  # (B,A,nc)
+        target_scores = jnp.where((fg_mask > 0)[..., None], target_scores, 0.0)
+        return target_labels, target_bboxes.astype(gt_bboxes.dtype), target_scores.astype(gt_bboxes.dtype)
