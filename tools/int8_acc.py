@@ -37,22 +37,18 @@ def main(epochs: int = 60, imgsz: int = 320):
     state = jax.tree.map(np.asarray, t.ema.ema_state)
     print("train done", flush=True)
 
-    def run_val(p, s, tag, fused: bool):
-        v = DetectionValidator(args=get_cfg(overrides={
+    def run_val(p, s, tag):
+        v = DetectionValidator(args={
             "data": data, "imgsz": imgsz, "batch": 8, "workers": 0, "mode": "val",
             "half": True, "plots": False, "save_json": False, "conf": 0.001,
             "project": "/tmp/int8acc", "name": f"val_{tag}", "exist_ok": True,
-        }))
-        if fused:
-            # already fused/quantized: bypass the validator's standalone fuse
-            stats = v(trainer=None, model=model, params=p, state=s)
-        else:
-            stats = v(trainer=None, model=model, params=p, state=s)
+        })
+        stats = v(trainer=None, model=model, params=p, state=s)
         print(f"{tag}: mAP50-95={stats['metrics/mAP50-95(B)']:.5f} "
               f"mAP50={stats['metrics/mAP50(B)']:.5f}", flush=True)
         return stats
 
-    bf16 = run_val(params, state, "bf16", fused=False)
+    bf16 = run_val(params, state, "bf16")
 
     # int8, global activation scale: calibrate on the val images themselves
     from yololite_tpu.data.dataset import build_yolo_dataset
@@ -65,7 +61,7 @@ def main(epochs: int = 60, imgsz: int = 320):
     print(f"calibrated: s_act={scales['s_act']:.5f} per_path entries={len(scales['per_path'])} "
           f"absmax range=[{min(scales['per_path'].values()) * 127:.2f}, "
           f"{max(scales['per_path'].values()) * 127:.2f}]", flush=True)
-    int8_g = run_val(qp, qs, "int8_global", fused=True)
+    int8_g = run_val(qp, qs, "int8_global")
 
     d50_95 = bf16["metrics/mAP50-95(B)"] - int8_g["metrics/mAP50-95(B)"]
     d50 = bf16["metrics/mAP50(B)"] - int8_g["metrics/mAP50(B)"]

@@ -76,7 +76,13 @@ def quantize_tree(model, fused_params: Dict, scales: Dict) -> Dict:
     per_path = scales.get("per_path", {})
 
     def conv_sin(path) -> float:
-        # input scale of a boundary conv: its producer's calibrated absmax if known
+        # One global activation scale for every int8 edge, by design: YOLO's
+        # concat/residual junction density means per-edge scales would need a
+        # rescale op at every junction (extra elementwise HBM passes on a
+        # bandwidth-bound model), while a single scale makes the int16
+        # saturating adds and concats free. The per-path absmaxes in `scales`
+        # quantify the spread (tools/int8_acc.py measures the mAP cost of the
+        # shared scale against bf16).
         return s_act
 
     def walk(mod, params, path, quantize_ok: bool, requant: bool):
