@@ -366,3 +366,95 @@ def test_check_imshow_and_print_args():
         LOGGER.removeHandler(h)
     out = buf.getvalue()
     assert "alpha=3" in out and "beta=x" in out and "k=1" in out
+
+
+def test_env_and_host_utilities(tmp_path):
+    """Reference utility-sweep parity: env sniffers, URL/string helpers, seeds
+    (reference utils/__init__.py:219-607, torch_utils.py:267-313)."""
+    from yololite_tpu.utils import misc as M
+
+    assert M.url2file("https://x.com/a/weights.pt?token=abc") == "weights.pt"
+    assert M.clean_url("https://x.com/a/file.txt?auth") == "https://x.com/a/file.txt"
+    assert M.remove_colorstr("\x1b[34m\x1b[1mhello\x1b[0m") == "hello"
+    assert M.emojis("plain") == "plain"
+    for fn in (M.is_colab, M.is_kaggle, M.is_jupyter, M.is_docker, M.is_ubuntu,
+               M.is_raspberrypi, M.is_jetson, M.is_github_action_running):
+        assert fn() in (True, False)
+    assert M.is_pytest_running() is True
+    assert M.is_dir_writeable(tmp_path)
+    assert M.get_user_config_dir().name == "yololite_tpu"
+    assert M.get_default_args(lambda a, b=3, c="x": None) == {"b": 3, "c": "x"}
+
+    class A: pass
+    class B:
+        def __init__(self):
+            self.x, self._h, self.y = 1, 2, 3
+    a = A()
+    M.copy_attr(a, B(), exclude=("y",))
+    assert a.x == 1 and not hasattr(a, "_h") and not hasattr(a, "y")
+
+    import numpy as np
+    M.init_seeds(5)
+    v1 = np.random.rand()
+    M.init_seeds(5)
+    assert np.random.rand() == v1
+
+    done = []
+    t = M.threaded(lambda: done.append(1))()
+    t.join(5)
+    assert done == [1]
+    assert M.threaded(lambda: 42)(threaded=False) == 42
+
+    @M.smart_inference_mode()
+    def f():
+        return "ok"
+    assert f() == "ok"
+    assert M.time_sync() > 0
+    assert M.default_class_names()[3] == "class3"
+
+    from yololite_tpu.utils.checks import parse_version
+    assert parse_version("11.2.9+cpu") == (11, 2, 9)
+
+
+def test_dataset_yaml_and_cache_helpers(tmp_path):
+    from yololite_tpu.data.utils import find_dataset_yaml, load_dataset_cache_file, save_dataset_cache_file
+
+    (tmp_path / "data.yaml").write_text("names: {0: a}")
+    assert find_dataset_yaml(tmp_path).name == "data.yaml"
+    save_dataset_cache_file("t: ", tmp_path / "labels.cache", {"labels": [1]})
+    assert load_dataset_cache_file(tmp_path / "labels.cache")["labels"] == [1]
+
+
+def test_plot_curves_and_scale_img(tmp_path):
+    import numpy as np
+
+    from yololite_tpu.utils.metrics import plot_mc_curve, plot_pr_curve, smooth
+
+    px = np.linspace(0, 1, 101)
+    plot_pr_curve(px, [np.linspace(1, 0, 101)] * 2, np.random.rand(2, 10),
+                  tmp_path / "pr.png", {0: "a", 1: "b"})
+    plot_mc_curve(px, np.random.rand(2, 101), tmp_path / "mc.png", {0: "a", 1: "b"})
+    assert (tmp_path / "pr.png").exists() and (tmp_path / "mc.png").exists()
+    assert len(smooth(np.random.rand(101))) == 101  # odd-filter length invariant
+
+    import jax.numpy as jnp
+
+    from yololite_tpu.ops.letterbox import scale_img
+
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    y = scale_img(x, 0.7)
+    assert y.shape == (1, 64, 64, 3)  # padded back to the /32 grid
+    assert float(y[0, -1, -1, 0]) == 0.447  # ImageNet-mean fill
+    assert scale_img(x, 1.0) is x
+
+
+def test_batch_probiou():
+    import numpy as np
+
+    from yololite_tpu.ops.rotated import batch_probiou
+
+    a = np.array([[10, 10, 4, 6, 0.2]], np.float32)
+    b = np.array([[10, 10, 4, 6, 0.2], [40, 40, 2, 2, 0.0]], np.float32)
+    out = np.asarray(batch_probiou(a, b))
+    assert out.shape == (1, 2)
+    assert out[0, 0] > 0.99 and out[0, 1] < 0.01

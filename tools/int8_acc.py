@@ -66,6 +66,9 @@ def main(epochs: int = 60, imgsz: int = 320):
     d50_95 = bf16["metrics/mAP50-95(B)"] - int8_g["metrics/mAP50-95(B)"]
     d50 = bf16["metrics/mAP50(B)"] - int8_g["metrics/mAP50(B)"]
     print(f"DELTA global-int8 vs bf16: mAP50-95 {d50_95:+.5f}  mAP50 {d50:+.5f}", flush=True)
+    # measured round 3 (docs/PERF.md): ~+0.04 / -0.02; the bound below is the
+    # regression gate for the global-activation-scale design
+    assert d50_95 <= 0.08 and d50 <= 0.08, f"int8 accuracy regression: {d50_95:+.4f}/{d50:+.4f}"
 
 
 if __name__ == "__main__":

@@ -152,3 +152,41 @@ def check_det_dataset(dataset: str) -> Dict:
         if data.get(k) and not Path(data[k]).exists():
             raise FileNotFoundError(f"dataset '{k}' path does not exist: {data[k]}")
     return data
+
+
+def find_dataset_yaml(path: Path) -> Path:
+    """Locate the single dataset yaml under `path` (reference data/utils.py:99-118):
+    root level first, then recursive; same-stem files preferred on ambiguity."""
+    path = Path(path)
+    files = list(path.glob("*.yaml")) or list(path.rglob("*.yaml"))
+    if not files:
+        raise FileNotFoundError(f"No YAML file found in '{path.resolve()}'")
+    if len(files) > 1:
+        same_stem = [f for f in files if f.stem == path.stem]
+        files = same_stem or files
+    if len(files) != 1:
+        raise ValueError(f"Expected 1 YAML file in '{path.resolve()}', found {len(files)}: {files}")
+    return files[0]
+
+
+def load_dataset_cache_file(path) -> Dict:
+    """Load a dataset label cache (reference data/utils.py:179-186)."""
+    import gc
+
+    gc.disable()  # pickle loads measurably faster without the collector
+    try:
+        return np.load(str(path), allow_pickle=True).item()
+    finally:
+        gc.enable()
+
+
+def save_dataset_cache_file(prefix: str, path, x: Dict) -> None:
+    """Write a dataset label cache if the directory allows it (reference data/utils.py:189-198)."""
+    path = Path(path)
+    if os.access(str(path.parent), os.W_OK):
+        np.save(str(path), x)
+        if path.suffix != ".npy":  # np.save appends .npy; restore the requested name
+            path.with_suffix(path.suffix + ".npy").rename(path)
+        LOGGER.info(f"{prefix}New cache created: {path}")
+    else:
+        LOGGER.warning(f"{prefix}Cache directory {path.parent} is not writeable, cache not saved.")

@@ -396,3 +396,8 @@ class DetectionModel:
 
         walk(jaxpr.jaxpr)
         return float(flops) / 1e9
+
+
+def guess_model_task(model) -> str:
+    """Task of a model/spec: this framework is detection-only (reference tasks.py:701-703)."""
+    return "detect"

@@ -68,3 +68,23 @@ def preprocess_batch(images, imgsz: int = 640, stride: int = 32, auto: bool = Fa
     out = np.stack([lb(im) for im in images])
     out = out[..., ::-1]  # BGR -> RGB
     return np.ascontiguousarray(out, dtype=np.float32) / 255.0
+
+
+def scale_img(img, ratio: float = 1.0, same_shape: bool = False, gs: int = 32):
+    """Scale + zero-ish-pad an NHWC image batch for TTA (reference torch_utils.py:255-264).
+
+    Resizes bilinearly by `ratio`; unless same_shape, pads out to the next
+    gs-multiple of the ORIGINAL size with the ImageNet-mean fill 0.447.
+    """
+    import jax
+    import jax.numpy as jnp
+    import math
+
+    if ratio == 1.0:
+        return img
+    b, h, w, c = img.shape
+    hs, ws = int(h * ratio), int(w * ratio)
+    out = jax.image.resize(img, (b, hs, ws, c), "bilinear")
+    if not same_shape:
+        h, w = (math.ceil(x * ratio / gs) * gs for x in (h, w))
+    return jnp.pad(out, ((0, 0), (0, h - hs), (0, w - ws), (0, 0)), constant_values=0.447)

@@ -144,3 +144,11 @@ def select_candidates_in_rotated_gts(xy_centers, gt_bboxes, eps=1e-9):
     ap_dot_ab = (ap * ab).sum(-1)
     ap_dot_ad = (ap * ad).sum(-1)
     return (ap_dot_ab >= 0) & (ap_dot_ab <= norm_ab) & (ap_dot_ad >= 0) & (ap_dot_ad <= norm_ad)
+
+
+def batch_probiou(obb1, obb2, eps: float = 1e-7):
+    """(N, 5) x (M, 5) xywhr -> (N, M) probabilistic IoU matrix
+    (reference metrics.py:198-228; same math as probiou with cross broadcasting)."""
+    obb1 = jnp.asarray(obb1)
+    obb2 = jnp.asarray(obb2)
+    return probiou(obb1[:, None, :], obb2[None, :, :], eps=eps)

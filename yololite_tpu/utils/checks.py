@@ -80,3 +80,14 @@ def print_args(args: dict = None, show_file: bool = True, show_func: bool = Fals
         file = Path(file).stem
     s = (f"{file}: " if show_file else "") + (f"{func}: " if show_func else "")
     LOGGER.info(colorstr(s) + ", ".join(f"{k}={v}" for k, v in args.items()))
+
+
+def parse_version(version: str = "0.0.0") -> tuple:
+    """Version string -> (major, minor, patch) ints, junk-tolerant (reference checks.py:57-67)."""
+    import re
+
+    try:
+        return tuple(map(int, re.findall(r"\d+", version)[:3]))
+    except Exception as e:
+        LOGGER.warning(f"parse_version({version!r}) failed, returning (0, 0, 0): {e}")
+        return 0, 0, 0

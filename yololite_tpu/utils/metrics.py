@@ -18,6 +18,7 @@ from yololite_tpu.ops.boxes import box_iou  # noqa: F401  (re-exported for valid
 def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
     """Box-filter smoothing over fraction f of the curve."""
     nf = round(len(y) * f * 2) // 2 + 1
+    nf += 1 - nf % 2  # must be odd so the valid convolution preserves length
     p = np.ones(nf // 2)
     yp = np.concatenate((p * y[0], y, p * y[-1]), 0)
     return np.convolve(yp, np.ones(nf) / nf, mode="valid")
@@ -297,3 +298,60 @@ class ConfusionMatrix:
     def print(self):
         for row in self.matrix:
             print(" ".join(f"{int(v)}" for v in row))
+
+
+def plot_pr_curve(px, py, ap, save_dir=Path("pr_curve.png"), names=None, on_plot=None):
+    """Precision-recall curves, per-class legend under 21 classes (reference metrics.py:396-418)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    names = names or {}
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    py = np.stack(py, axis=1)
+    if 0 < len(names) < 21:
+        for i, y in enumerate(py.T):
+            ax.plot(px, y, linewidth=1, label=f"{names[i]} {ap[i, 0]:.3f}")
+    else:
+        ax.plot(px, py, linewidth=1, color="grey")
+    ax.plot(px, py.mean(1), linewidth=3, color="blue", label=f"all classes {ap[:, 0].mean():.3f} mAP@0.5")
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left")
+    ax.set_title("Precision-Recall Curve")
+    fig.savefig(save_dir, dpi=250)
+    plt.close(fig)
+    if on_plot:
+        on_plot(save_dir)
+
+
+def plot_mc_curve(px, py, save_dir=Path("mc_curve.png"), names=None, xlabel="Confidence",
+                  ylabel="Metric", on_plot=None):
+    """Metric-confidence curves (F1/P/R vs conf; reference metrics.py:421-443)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    names = names or {}
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    if 0 < len(names) < 21:
+        for i, y in enumerate(py):
+            ax.plot(px, y, linewidth=1, label=f"{names[i]}")
+    else:
+        ax.plot(px, py.T, linewidth=1, color="grey")
+    y = smooth(py.mean(0), 0.05)
+    ax.plot(px, y, linewidth=3, color="blue", label=f"all classes {y.max():.2f} at {px[y.argmax()]:.3f}")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left")
+    ax.set_title(f"{ylabel}-Confidence Curve")
+    fig.savefig(save_dir, dpi=250)
+    plt.close(fig)
+    if on_plot:
+        on_plot(save_dir)

@@ -164,3 +164,263 @@ def get_settings() -> SettingsManager:
     if SETTINGS is None:
         SETTINGS = SettingsManager()
     return SETTINGS
+
+
+# ---- environment detection + small host helpers (reference utils/__init__.py
+# :219-607, :695-710, :779-795, :972-985; torch_utils.py:37-47, :175-179,
+# :267-274, :296-313) ----
+
+def emojis(string: str = "") -> str:
+    """Emoji-safe string for non-UTF consoles (reference utils/__init__.py:219)."""
+    import platform
+
+    return string.encode().decode("ascii", "ignore") if platform.system() == "Windows" else string
+
+
+def clean_url(url) -> str:
+    """Strip auth/query from a URL (reference utils/__init__.py:977-980)."""
+    import urllib.parse
+
+    url = Path(url).as_posix().replace(":/", "://")  # Pathlib collapses ://
+    return urllib.parse.unquote(url).split("?")[0]
+
+
+def url2file(url) -> str:
+    """URL -> bare filename (reference utils/__init__.py:983-985)."""
+    return Path(clean_url(url)).name
+
+
+def is_dir_writeable(dir_path) -> bool:
+    """True when the process may write into dir_path (reference :477-488)."""
+    import os
+
+    return os.access(str(dir_path), os.W_OK)
+
+
+def is_ubuntu() -> bool:
+    """True on Ubuntu (reference :357-368)."""
+    try:
+        with open("/etc/os-release") as f:
+            return "ID=ubuntu" in f.read()
+    except FileNotFoundError:
+        return False
+
+
+def get_ubuntu_version():
+    """Ubuntu VERSION_ID or None (reference :579-591)."""
+    import re
+
+    if is_ubuntu():
+        try:
+            with open("/etc/os-release") as f:
+                return re.search(r'VERSION_ID="(\d+\.\d+)"', f.read())[1]
+        except (FileNotFoundError, AttributeError, TypeError):
+            return None
+
+
+def is_colab() -> bool:
+    """True inside Google Colab (reference :371-378)."""
+    import os
+
+    return "COLAB_RELEASE_TAG" in os.environ or "COLAB_BACKEND_VERSION" in os.environ
+
+
+def is_kaggle() -> bool:
+    """True inside a Kaggle kernel (reference :381-388)."""
+    import os
+
+    return os.environ.get("PWD") == "/kaggle/working" and \
+        os.environ.get("KAGGLE_URL_BASE") == "https://www.kaggle.com"
+
+
+def is_jupyter() -> bool:
+    """True in the notebook environments we can reliably detect (reference :391-402)."""
+    return is_colab() or is_kaggle()
+
+
+def is_docker() -> bool:
+    """True inside a Docker container (reference :405-415)."""
+    try:
+        with open("/proc/self/cgroup") as f:
+            return "docker" in f.read()
+    except Exception:
+        return False
+
+
+def read_device_model() -> str:
+    """Contents of /proc/device-tree/model, or '' (reference :340-354)."""
+    try:
+        with open("/proc/device-tree/model") as f:
+            return f.read()
+    except Exception:
+        return ""
+
+
+def is_raspberrypi() -> bool:
+    """True on a Raspberry Pi (reference :418-425)."""
+    return "Raspberry Pi" in read_device_model()
+
+
+def is_jetson() -> bool:
+    """True on an NVIDIA Jetson (reference :428-437)."""
+    return "NVIDIA" in read_device_model()
+
+
+def is_online() -> bool:
+    """True when a known DNS host is reachable (reference :440-455)."""
+    import os
+    import socket
+
+    if str(os.getenv("YOLO_OFFLINE", "")).lower() == "true":
+        return False
+    for dns in ("1.1.1.1", "8.8.8.8"):
+        try:
+            socket.create_connection(address=(dns, 80), timeout=2.0).close()
+            return True
+        except Exception:
+            continue
+    return False
+
+
+def is_pytest_running() -> bool:
+    """True when pytest is driving the process (reference :490-497)."""
+    import os
+    import sys
+
+    return ("PYTEST_CURRENT_TEST" in os.environ) or ("pytest" in sys.modules) or \
+        ("pytest" in Path(sys.argv[0]).stem)
+
+
+def is_github_action_running() -> bool:
+    """True on a GitHub Actions runner (reference :500-507)."""
+    import os
+
+    return all(k in os.environ for k in ("GITHUB_ACTIONS", "GITHUB_WORKFLOW", "RUNNER_OS"))
+
+
+def get_user_config_dir(sub_dir: str = "yololite_tpu") -> Path:
+    """Per-OS user config directory (reference :593-607)."""
+    import platform
+
+    home = Path.home()
+    path = {
+        "Windows": home / "AppData" / "Roaming" / sub_dir,
+        "Darwin": home / "Library" / "Application Support" / sub_dir,
+    }.get(platform.system(), home / ".config" / sub_dir)
+    return path
+
+
+def threaded(func):
+    """Run the wrapped call in a daemon thread unless threaded=False (reference :779-795)."""
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        if kwargs.pop("threaded", True):
+            t = threading.Thread(target=func, args=args, kwargs=kwargs, daemon=True)
+            t.start()
+            return t
+        return func(*args, **kwargs)
+
+    return wrapper
+
+
+def plt_settings(rcparams: Optional[Dict] = None, backend: str = "Agg"):
+    """Decorator: run a plotting function under temporary rcParams + backend
+    (reference utils/__init__.py:128-170)."""
+    if rcparams is None:
+        rcparams = {"font.size": 11}
+
+    def decorator(func):
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            import matplotlib.pyplot as plt
+
+            original = plt.get_backend()
+            switch = backend.lower() != original.lower()
+            if switch:
+                plt.close("all")
+                plt.switch_backend(backend)
+            try:
+                with plt.rc_context(rcparams):
+                    return func(*args, **kwargs)
+            finally:
+                if switch:
+                    plt.close("all")
+                    plt.switch_backend(original)
+
+        return wrapper
+
+    return decorator
+
+
+def deprecation_warn(arg, new_arg):
+    """Warn that `arg` is deprecated in favor of `new_arg` (reference :972-974)."""
+    LOGGER.warning(f"'{arg}' is deprecated and will be removed in the future. Use '{new_arg}' instead.")
+
+
+def remove_colorstr(input_string: str) -> str:
+    """Strip ANSI escape codes (reference :695-710)."""
+    import re
+
+    return re.compile(r"\x1B\[[0-9;]*[A-Za-z]").sub("", input_string)
+
+
+def copy_attr(a, b, include=(), exclude=()):
+    """Copy public attributes of b onto a (reference torch_utils.py:267-274)."""
+    for k, v in b.__dict__.items():
+        if (include and k not in include) or k.startswith("_") or k in exclude:
+            continue
+        setattr(a, k, v)
+
+
+def get_default_args(func) -> Dict[str, Any]:
+    """{param: default} for every defaulted parameter (reference utils/__init__.py:564-576)."""
+    import inspect
+
+    return {k: v.default for k, v in inspect.signature(func).parameters.items()
+            if v.default is not inspect.Parameter.empty}
+
+
+def init_seeds(seed: int = 0, deterministic: bool = False):
+    """Seed host RNGs (reference torch_utils.py:296-313). JAX note: device-side
+    randomness is keyed explicitly per call, so only the host RNGs (python,
+    numpy) need seeding; XLA is deterministic by default on TPU, making the
+    `deterministic` flag a no-op here."""
+    import os
+    import random
+
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed)
+    if deterministic:
+        os.environ["PYTHONHASHSEED"] = str(seed)
+
+
+def time_sync() -> float:
+    """Device-accurate wall time (reference torch_utils.py:175-179): on JAX the
+    prior dispatch must be drained explicitly by the caller (block_until_ready /
+    a scalar fetch through the relay); this returns the host clock."""
+    return time.time()
+
+
+def smart_inference_mode():
+    """No-op decorator for API parity (reference torch_utils.py:37-47): JAX has
+    no grad-mode state — inference graphs simply never call jax.grad."""
+
+    def decorate(fn):
+        return fn
+
+    return decorate
+
+
+def default_class_names(data=None) -> Dict[int, str]:
+    """Class names from a dataset yaml, or numeric defaults (reference autobackend.py:10-17)."""
+    if data:
+        try:
+            from yololite_tpu.utils import yaml_load
+
+            return yaml_load(data)["names"]
+        except Exception:
+            pass
+    return {i: f"class{i}" for i in range(999)}
