@@ -300,58 +300,46 @@ class ConfusionMatrix:
             print(" ".join(f"{int(v)}" for v in row))
 
 
-def plot_pr_curve(px, py, ap, save_dir=Path("pr_curve.png"), names=None, on_plot=None):
-    """Precision-recall curves, per-class legend under 21 classes (reference metrics.py:396-418)."""
+def _curve_figure(px, per_class, bold, labels, xlabel, ylabel, title, save_dir, on_plot):
+    """Shared renderer for the PR / metric-confidence curve family."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    names = names or {}
     fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
-    py = np.stack(py, axis=1)
-    if 0 < len(names) < 21:
-        for i, y in enumerate(py.T):
-            ax.plot(px, y, linewidth=1, label=f"{names[i]} {ap[i, 0]:.3f}")
+    if labels:  # per-class legend (reference caps it at 20 classes)
+        for curve, text in zip(per_class, labels):
+            ax.plot(px, curve, linewidth=1, label=text)
     else:
-        ax.plot(px, py, linewidth=1, color="grey")
-    ax.plot(px, py.mean(1), linewidth=3, color="blue", label=f"all classes {ap[:, 0].mean():.3f} mAP@0.5")
-    ax.set_xlabel("Recall")
-    ax.set_ylabel("Precision")
-    ax.set_xlim(0, 1)
-    ax.set_ylim(0, 1)
+        for curve in per_class:
+            ax.plot(px, curve, linewidth=1, color="grey")
+    y, text = bold
+    ax.plot(px, y, linewidth=3, color="blue", label=text)
+    ax.set(xlabel=xlabel, ylabel=ylabel, xlim=(0, 1), ylim=(0, 1), title=title)
     ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left")
-    ax.set_title("Precision-Recall Curve")
     fig.savefig(save_dir, dpi=250)
     plt.close(fig)
     if on_plot:
         on_plot(save_dir)
+
+
+def plot_pr_curve(px, py, ap, save_dir=Path("pr_curve.png"), names=None, on_plot=None):
+    """Precision-recall curves, per-class legend under 21 classes (reference metrics.py:396-418)."""
+    names = names or {}
+    curves = list(np.stack(py, axis=1).T)
+    labels = [f"{names[i]} {ap[i, 0]:.3f}" for i in range(len(curves))] if 0 < len(names) < 21 else None
+    mean = np.mean(curves, axis=0)
+    _curve_figure(px, curves, (mean, f"all classes {ap[:, 0].mean():.3f} mAP@0.5"), labels,
+                  "Recall", "Precision", "Precision-Recall Curve", save_dir, on_plot)
 
 
 def plot_mc_curve(px, py, save_dir=Path("mc_curve.png"), names=None, xlabel="Confidence",
                   ylabel="Metric", on_plot=None):
     """Metric-confidence curves (F1/P/R vs conf; reference metrics.py:421-443)."""
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
     names = names or {}
-    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
-    if 0 < len(names) < 21:
-        for i, y in enumerate(py):
-            ax.plot(px, y, linewidth=1, label=f"{names[i]}")
-    else:
-        ax.plot(px, py.T, linewidth=1, color="grey")
+    py = np.asarray(py)
+    labels = [str(names[i]) for i in range(len(py))] if 0 < len(names) < 21 else None
     y = smooth(py.mean(0), 0.05)
-    ax.plot(px, y, linewidth=3, color="blue", label=f"all classes {y.max():.2f} at {px[y.argmax()]:.3f}")
-    ax.set_xlabel(xlabel)
-    ax.set_ylabel(ylabel)
-    ax.set_xlim(0, 1)
-    ax.set_ylim(0, 1)
-    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left")
-    ax.set_title(f"{ylabel}-Confidence Curve")
-    fig.savefig(save_dir, dpi=250)
-    plt.close(fig)
-    if on_plot:
-        on_plot(save_dir)
+    _curve_figure(px, list(py), (y, f"all classes {y.max():.2f} at {px[y.argmax()]:.3f}"), labels,
+                  xlabel, ylabel, f"{ylabel}-Confidence Curve", save_dir, on_plot)
