@@ -1,9 +1,14 @@
 """Profile the yolo11n train step stages on the real chip (bs=64, 640px, amp).
 
 Splits the step into forward / forward+loss(TAL) / grad / grad+optimizer+EMA so
-PERF.md can carry a measured post-bucketing breakdown (round-2 verdict weak #3:
-the 31.4 ms loss+TAL figure predates GT bucketing). Scan-chained timing like
-bench.py (docs/PERF.md relay rules).
+PERF.md can carry a measured post-bucketing breakdown (round-2 verdict weak #3).
+
+Timing method: each stage is ONE jitted function called ITERS times with a
+data dependency chained through a scalar carry (output feeds the next call's
+salt), then a single scalar fetch forces the chain. This hides the ~34 ms
+relay RTT behind dispatch pipelining without wrapping the whole step in a
+lax.scan — a scan of the full training graph previously wedged the remote
+compiler (round 3 journal).
 """
 
 from __future__ import annotations
@@ -35,7 +40,7 @@ def main():
 
     rng = np.random.default_rng(0)
     images = jax.device_put(jnp.asarray(rng.random((BS, S, S, 3)), jnp.bfloat16))
-    n_gt = 4  # per image
+    n_gt = 4
     batch = {
         "batch_idx": np.repeat(np.arange(BS, dtype=np.float32), n_gt),
         "cls": rng.integers(0, 80, (BS * n_gt, 1)).astype(np.float32),
@@ -50,15 +55,19 @@ def main():
     ema = jax.device_put(jax.tree.map(lambda x: x + 0, params))
     opt_state = jax.device_put(opt_state)
 
-    def timed(name, loop):
+    def timed(name, step):
+        """step: jitted fn(salt scalar) -> scalar; chained ITERS times."""
         try:
             t0 = time.perf_counter()
-            float(loop())
+            float(step(jnp.float32(0)))  # compile + one run
             tc = time.perf_counter() - t0
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                float(loop())
+                c = jnp.float32(0)
+                for _ in range(ITERS):
+                    c = step(c)  # dispatches pipeline; data-dependent chain
+                float(c)  # one sync forces the whole chain
                 best = min(best, time.perf_counter() - t0)
             ms = best / ITERS * 1e3
             print(f"{name}: {ms:.2f} ms/step  ({BS / ms * 1e3:.1f} img/s)  [compile+1 {tc:.0f}s]",
@@ -68,46 +77,33 @@ def main():
             print(f"{name}: {type(e).__name__}: {e}", flush=True)
             return None
 
-    def chain(step):
-        @jax.jit
-        def loop():
-            def body(c, _):
-                return step(c), None
-
-            out, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
-            return out
-
-        return loop
-
+    @jax.jit
     def fwd_train(c):
         ctx = M.Ctx(train=True)
         feats = model.apply(params, state, images + c.astype(images.dtype), train=True, ctx=ctx)
         return (sum(jnp.sum(f.astype(jnp.float32)) for f in feats) * 1e-12).astype(jnp.float32)
 
+    @jax.jit
     def fwd_loss(c):
         ctx = M.Ctx(train=True)
         feats = model.apply(params, state, images + c.astype(images.dtype), train=True, ctx=ctx)
-        total, items = loss_fn(feats, {"gt_labels": gl, "gt_bboxes": gb, "mask_gt": mg})
+        total, _ = loss_fn(feats, {"gt_labels": gl, "gt_bboxes": gb, "mask_gt": mg})
         return (total * 1e-12).astype(jnp.float32)
 
-    def grad_only(c):
-        def lossf(p):
-            ctx = M.Ctx(train=True)
-            feats = model.apply(p, state, images + c.astype(images.dtype), train=True, ctx=ctx)
-            total, items = loss_fn(feats, {"gt_labels": gl, "gt_bboxes": gb, "mask_gt": mg})
-            return total
+    def _lossf(p, c):
+        ctx = M.Ctx(train=True)
+        feats = model.apply(p, state, images + c.astype(images.dtype), train=True, ctx=ctx)
+        total, _ = loss_fn(feats, {"gt_labels": gl, "gt_bboxes": gb, "mask_gt": mg})
+        return total
 
-        g = jax.grad(lossf)(params)
+    @jax.jit
+    def grad_only(c):
+        g = jax.grad(_lossf)(params, c)
         return (sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g)) * 1e-12).astype(jnp.float32)
 
+    @jax.jit
     def full_step(c):
-        def lossf(p):
-            ctx = M.Ctx(train=True)
-            feats = model.apply(p, state, images + c.astype(images.dtype), train=True, ctx=ctx)
-            total, items = loss_fn(feats, {"gt_labels": gl, "gt_bboxes": gb, "mask_gt": mg})
-            return total
-
-        g = jax.grad(lossf)(params)
+        g = jax.grad(_lossf)(params, c)
         g, _ = optim.clip_by_global_norm(g, 10.0)
         p2, _ = optim.sgd_update(params, g, opt_state, labels_tree,
                                  jnp.asarray([0.01, 0.01, 0.01]), 0.9, 5e-4)
@@ -115,13 +111,13 @@ def main():
         return (sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(e2)[:3]) * 1e-12).astype(jnp.float32)
 
     r = {}
-    r["fwd_train"] = timed("fwd_train (bs=64 amp)", chain(fwd_train))
-    r["fwd_loss"] = timed("fwd+loss+TAL", chain(fwd_loss))
-    r["grad"] = timed("fwd+bwd (grad)", chain(grad_only))
-    r["full"] = timed("full step (grad+clip+SGD+EMA)", chain(full_step))
-    if r["fwd_loss"] and r["fwd_train"]:
+    r["fwd_train"] = timed("fwd_train (bs=64 amp)", fwd_train)
+    r["fwd_loss"] = timed("fwd+loss+TAL", fwd_loss)
+    r["grad"] = timed("fwd+bwd (grad)", grad_only)
+    r["full"] = timed("full step (grad+clip+SGD+EMA)", full_step)
+    if r.get("fwd_loss") and r.get("fwd_train"):
         print(f"loss+TAL forward-side cost: {r['fwd_loss'] - r['fwd_train']:.2f} ms", flush=True)
-    if r["grad"] and r["full"]:
+    if r.get("grad") and r.get("full"):
         print(f"optimizer+EMA cost: {r['full'] - r['grad']:.2f} ms", flush=True)
     print("RESULTS", {k: (round(v, 2) if v else None) for k, v in r.items()}, flush=True)
 

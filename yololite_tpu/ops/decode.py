@@ -64,7 +64,10 @@ def decode_detections(
     anchors, stride_t = make_anchors(shapes, strides, 0.5)  # (A,2), (A,1)
     x = flatten_levels(feats)  # (B, A, 4*reg_max + nc)
     box_logits, cls_logits = x[..., : 4 * reg_max], x[..., 4 * reg_max :]
-    dist = dfl_expectation(box_logits, reg_max)  # (B, A, 4) in stride units
+    # segment-matmul DFL (lane-layout friendly; ~1e-6 relative of the softmax
+    # form, docs/PERF.md round 3) — the validator/TTA decode path shares the
+    # same expectation kernel as the fused predict pipeline
+    dist = dfl_expectation_mm(box_logits, reg_max).astype(jnp.float32)  # (B, A, 4)
     boxes = dist2bbox(dist, anchors[None], xywh=xywh) * stride_t[None]
     scores = jax.nn.sigmoid(cls_logits)
     return boxes, scores
