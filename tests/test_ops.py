@@ -222,3 +222,45 @@ def test_nms_from_feats_matches_decode_then_nms(half):
                                          multi_label=False, **kw))
     out = np.asarray(nms_from_feats(feats, strides, nc, reg_max, half=True, **kw))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fixpoint_keep_matches_sequential_on_chains():
+    """Alternating suppression chains are the fixpoint iteration's worst case:
+    box k overlaps only box k+1, so keep decisions alternate and each sweep
+    finalizes one more link. Must equal the sequential greedy oracle exactly."""
+    import jax.numpy as jnp
+
+    from yololite_tpu.ops.nms import _fixpoint_keep, _greedy_keep
+
+    # chain of 12 boxes, each overlapping only its neighbor (IoU ~0.54)
+    n = 12
+    boxes = np.stack([
+        np.arange(n) * 6.0, np.zeros(n), np.arange(n) * 6.0 + 13.0, np.full(n, 10.0)
+    ], axis=1).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[3] = False  # a hole re-links the chain parity after it
+
+    shifted = jnp.asarray(boxes)[None]
+    v = jnp.asarray(valid)[None]
+    fix = np.asarray(_fixpoint_keep(shifted, v, 0.4))[0]
+    seq = np.asarray(_greedy_keep(jnp.asarray(boxes), jnp.asarray(valid), 0.4))
+
+    # numpy sequential-greedy oracle
+    def iou(a, b):
+        x1 = max(a[0], b[0]); y1 = max(a[1], b[1])
+        x2 = min(a[2], b[2]); y2 = min(a[3], b[3])
+        inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+        ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+        return inter / ua
+    keep = valid.copy()
+    for j in range(n):
+        if not keep[j]:
+            continue
+        for i in range(j):
+            if keep[i] and iou(boxes[i], boxes[j]) > 0.4:
+                keep[j] = False
+                break
+    np.testing.assert_array_equal(fix, keep)
+    np.testing.assert_array_equal(seq, keep)
+    # the chain alternates keeps around the hole
+    assert keep.sum() > 2 and not keep.all()
