@@ -264,3 +264,40 @@ def test_fixpoint_keep_matches_sequential_on_chains():
     np.testing.assert_array_equal(seq, keep)
     # the chain alternates keeps around the hole
     assert keep.sum() > 2 and not keep.all()
+
+
+def test_fixpoint_vs_scan_fuzz():
+    """Fixpoint greedy == chunked-scan greedy over many random crowded scenes."""
+    import jax.numpy as jnp
+
+    from yololite_tpu.ops.nms import _fixpoint_keep, _greedy_keep
+
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        n = 96
+        centers = rng.uniform(20, 120, (n, 2))  # dense -> long suppression cascades
+        wh = rng.uniform(10, 60, (n, 2))
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1).astype(np.float32)
+        boxes = boxes[np.argsort(-rng.random(n))]  # arbitrary "score" order
+        valid = rng.random(n) > 0.1
+        fix = np.asarray(_fixpoint_keep(jnp.asarray(boxes)[None], jnp.asarray(valid)[None], 0.5))[0]
+        seq = np.asarray(_greedy_keep(jnp.asarray(boxes), jnp.asarray(valid), 0.5))
+        np.testing.assert_array_equal(fix, seq, err_msg=f"seed={seed}")
+
+
+def test_nms_from_feats_large_k_scan_fallback():
+    """max_cand > 1024 routes suppression through the chunked scan; results must
+    match the standard decode+NMS path on the same maps."""
+    from yololite_tpu.ops.decode import decode_detections
+    from yololite_tpu.ops.nms import nms_from_feats, non_max_suppression
+
+    nc, reg_max, strides = 4, 16, (8, 16, 32)
+    rng = np.random.default_rng(7)
+    feats = [jnp.asarray(rng.standard_normal((1, s, s, 4 * reg_max + nc)).astype(np.float32))
+             for s in (32, 16, 8)]  # A = 1024 + 256 + 64 = 1344
+    kw = dict(conf_thres=0.4, iou_thres=0.5, max_det=64, max_cand=1344)
+    boxes, scores = decode_detections(feats, strides, nc, reg_max, xywh=False)
+    ref = np.asarray(non_max_suppression(boxes, scores, multi_label=False, **kw))
+    out = np.asarray(nms_from_feats(feats, strides, nc, reg_max, **kw))
+    np.testing.assert_allclose(out[..., 4:], ref[..., 4:], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(out[..., :4], ref[..., :4], atol=1e-3)
