@@ -60,9 +60,10 @@ def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False, mode: 
             # fixpoint greedy suppression (docs/PERF.md round 3)
             from yololite_tpu.ops.nms import nms_from_feats
 
+            # max_cand mirrors the predictor rule: max(256, max_det) at conf 0.25
             dets = nms_from_feats(feats, model.strides, model.nc, model.reg_max,
                                   conf_thres=0.25, iou_thres=0.7, max_det=300,
-                                  max_cand=256, mode=mode, half=True)
+                                  max_cand=300, mode=mode, half=True)
             return (jnp.sum(dets) * 1e-12).astype(jnp.float32), None
 
         out, _ = jax.lax.scan(body, salt, None, length=iters)

@@ -125,7 +125,7 @@ def get_cfg(cfg=DEFAULT_CFG_DICT, overrides: Dict = None) -> IterableSimpleNames
     cfg = cfg2dict(cfg)
     if overrides:
         # accept namespaces/paths like the reference's cfg2dict (cfg/__init__.py:125-131)
-        overrides = cfg2dict(_strip_deprecations(cfg2dict(overrides)))
+        overrides = _strip_deprecations(cfg2dict(overrides))
         if "save_dir" not in cfg:
             overrides.pop("save_dir", None)
         check_dict_alignment(cfg, overrides)

@@ -103,7 +103,9 @@ class YOLODataset:
         cached = None
         if cache_path and cache_path.exists():
             try:
-                cached = np.load(cache_path, allow_pickle=True).item()
+                from yololite_tpu.data.utils import load_dataset_cache_file
+
+                cached = load_dataset_cache_file(cache_path)
                 if cached.get("version") != DATASET_CACHE_VERSION or cached.get("hash") != h:
                     cached = None
             except Exception:
@@ -142,7 +144,10 @@ class YOLODataset:
             LOGGER.warning(f"no labels found in {self.img_path}; training will not work correctly")
         if cache_path:
             try:
-                np.save(str(cache_path)[: -len(".npy")], {"labels": labels, "hash": h, "version": DATASET_CACHE_VERSION})
+                from yololite_tpu.data.utils import save_dataset_cache_file
+
+                save_dataset_cache_file("", cache_path,
+                                        {"labels": labels, "hash": h, "version": DATASET_CACHE_VERSION})
             except Exception:
                 pass  # read-only dataset dirs are fine
         return labels

@@ -10,7 +10,6 @@ padded to a fixed shape so the graph compiles once per (batch, imgsz).
 from __future__ import annotations
 
 import functools
-import math
 import threading
 import time
 from pathlib import Path
@@ -101,18 +100,18 @@ class DetectionPredictor:
 
         def _forward_tta(params, state, x):
             """Test-time augmentation: multi-scale + horizontal flip, merged pre-NMS
-            (counterpart of reference tasks.py:278-316 _predict_augment)."""
-            h, w = x.shape[1], x.shape[2]
+            (counterpart of reference tasks.py:278-316 _predict_augment): each view
+            goes through scale_img (resize by the ratio, pad to the /32 grid with
+            the 0.447 fill, reference torch_utils.py:255-264) and its boxes
+            unscale by the plain ratio."""
+            from yololite_tpu.ops.letterbox import scale_img
+
+            w = x.shape[2]
             outs = []
             for s, flip in ((1.0, False), (0.83, True), (0.67, False)):
-                hs = int(math.ceil(h * s / 32) * 32)
-                ws = int(math.ceil(w * s / 32) * 32)
-                xi = x[:, :, ::-1, :] if flip else x
-                if (hs, ws) != (h, w):
-                    xi = jax.image.resize(xi, (x.shape[0], hs, ws, x.shape[3]), "bilinear")
+                xi = scale_img(x[:, :, ::-1, :] if flip else x, s, gs=32)
                 boxes, scores = _forward_decode(params, state, xi)
-                gain = jnp.asarray([ws / w, hs / h, ws / w, hs / h], jnp.float32)
-                boxes = boxes / gain
+                boxes = boxes / s
                 if flip:  # un-flip x coords (xyxy)
                     x1 = w - boxes[..., 2]
                     x2 = w - boxes[..., 0]
@@ -127,9 +126,11 @@ class DetectionPredictor:
         use_fused = USE_FUSED_DECODE and not augment and class_mask is None
 
         # top-K candidate pool for the single-label predict path: 256 covers any
-        # realistic above-conf count at the 0.25 default (measured sweep
-        # docs/PERF.md round 3; exact-parity tests gate it)
-        pred_max_cand = 256
+        # realistic above-conf count at the 0.25 default (measured sweep,
+        # docs/PERF.md round 3), but never cap below the user's max_det, and
+        # widen to 512 when the user lowers conf below the default (more
+        # candidates survive the gate there)
+        pred_max_cand = max(256 if conf >= 0.25 else 512, max_det)
 
         def _single_label(params, state, x):
             """Non-TTA predict graph: fused select-first NMS over the raw maps."""

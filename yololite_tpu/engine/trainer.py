@@ -368,8 +368,16 @@ class DetectionTrainer:
         finally:
             # drain pending checkpoint writes even when the loop raises
             # (KeyboardInterrupt, data error): last.npz stays consistent and a
-            # persistent save failure surfaces instead of dying with the run
-            self._saver.flush()
+            # persistent save failure surfaces instead of dying with the run --
+            # but never let a stale saver error REPLACE an in-flight exception
+            import sys as _sys
+
+            try:
+                self._saver.flush()
+            except Exception as save_err:
+                if _sys.exc_info()[0] is None:
+                    raise
+                LOGGER.warning(f"checkpoint saver error during shutdown: {save_err!r}")
         LOGGER.info(f"\n{self.epochs} epochs completed in {(time.time() - train_time_start) / 3600:.3f} hours.")
         self.final_eval()
         return self.metrics
@@ -477,7 +485,9 @@ class DetectionTrainer:
 
             q = self._ms_quant
             imgsz = self.imgsz if isinstance(self.imgsz, int) else self.imgsz[0]
-            sz = (np.random.randint(int(imgsz * 0.5), int(imgsz * 1.5 + 32)) // q) * q
+            # clamp at one grid cell: a draw below q would floor to sz=0 (small
+            # imgsz after the /64 coarsening) and crash cv2.resize
+            sz = max((np.random.randint(int(imgsz * 0.5), int(imgsz * 1.5 + 32)) // q) * q, q)
             if sz != batch["img"].shape[1]:
                 batch["img"] = np.stack(
                     [cv2.resize(im, (sz, sz), interpolation=cv2.INTER_LINEAR) for im in batch["img"]]

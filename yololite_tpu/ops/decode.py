@@ -31,16 +31,21 @@ def dfl_expectation(box_logits: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
 def dfl_expectation_mm(box_logits: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     """(.., A, 4*reg_max) -> (.., A, 4): same expectation, MXU-friendly form.
 
-    Keeps the native 4*reg_max-wide lane layout (the (...,4,reg_max) reshape of
-    the softmax form breaks TPU's 128-lane tiling) and computes the per-bin
-    softmax expectation as two (4*reg_max -> 4) segment matmuls:
-    exp(x-c) @ S and exp(x-c) @ (S*proj), c = per-row max (cancels in the
-    ratio, so the result is mathematically identical to dfl_expectation; float
-    rounding differs at ~1e-6 relative). Measured ~2x faster than the
-    softmax-einsum on v5e in the decode tail (docs/PERF.md round 3).
+    Keeps the native 4*reg_max-wide lane layout for the heavy elementwise work
+    (the (...,4,reg_max) reshape of the softmax form breaks TPU's 128-lane
+    tiling) and computes the per-bin softmax expectation as two
+    (4*reg_max -> 4) segment matmuls: exp(x-c) @ S and exp(x-c) @ (S*proj).
+    The shift c is each SIDE's own max (a small reshape-reduce broadcast back
+    across its 16 bins): it cancels in the ratio, and — unlike a shared
+    per-row max — guarantees every side keeps exp(0)=1 in its denominator, so
+    a side sitting far below another side's logits can never underflow to
+    0/0 = NaN. Mathematically identical to dfl_expectation (float rounding
+    ~1e-6 relative); measured ~2x faster than the softmax-einsum on v5e in
+    the decode tail (docs/PERF.md round 3).
     """
     f = box_logits.astype(jnp.float32)
-    c = jnp.max(f, axis=-1, keepdims=True)  # one scalar per row: exact in the ratio
+    m = jnp.max(f.reshape(*f.shape[:-1], 4, reg_max), axis=-1)  # (.., A, 4)
+    c = jnp.repeat(m, reg_max, axis=-1)  # per-side shift, back in lane layout
     e = jnp.exp(f - c)
     seg = jnp.repeat(jnp.eye(4, dtype=jnp.float32), reg_max, axis=0)  # (4*reg_max, 4)
     proj = jnp.tile(jnp.arange(reg_max, dtype=jnp.float32), 4)[:, None] * seg

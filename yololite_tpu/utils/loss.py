@@ -93,9 +93,10 @@ class v8DetectionLoss:
         pred_dist: (B, A, 4*reg_max) flat logits; target: (B, A, 4) continuous
         bins. Returns (B, A, 1): mean over the 4 sides.
 
-        Stays in the native 4*reg_max-wide lane layout: per-side logsumexp via a
-        (4R -> 4) segment matmul with a shared per-row max shift (valid for each
-        block since it upper-bounds every block max), and the target-bin logit
+        Stays in the native 4*reg_max-wide lane layout for the heavy elementwise
+        work: per-side logsumexp via a (4R -> 4) segment matmul shifted by each
+        SIDE's own max (so e@seg >= exp(0) = 1 and the lse can never hit
+        log(0) = -inf, unlike a shared per-row shift), and the target-bin logit
         extracted with a disjoint-block multi-hot — no (B,A,4,R) log_softmax
         materialization, no gather.
         """
@@ -107,10 +108,10 @@ class v8DetectionLoss:
         wl = (tr.astype(jnp.float32) - target.astype(jnp.float32))
         wr = 1 - wl
 
-        c = jnp.max(x, axis=-1, keepdims=True)
-        e = jnp.exp(x - c)
+        m = jnp.max(x.reshape(*x.shape[:-1], 4, R), axis=-1)  # (B, A, 4)
+        e = jnp.exp(x - jnp.repeat(m, R, axis=-1))
         seg = jnp.repeat(jnp.eye(4, dtype=jnp.float32), R, axis=0)  # (4R, 4)
-        lse = jnp.log(e @ seg) + c  # (B, A, 4) per-side logsumexp
+        lse = jnp.log(e @ seg) + m  # (B, A, 4) per-side logsumexp
 
         base = (jnp.arange(4, dtype=jnp.int32) * R)[None, None, :]
         bins = jnp.arange(4 * R, dtype=jnp.int32)
