@@ -285,6 +285,65 @@ def test_fixpoint_vs_scan_fuzz():
         np.testing.assert_array_equal(fix, seq, err_msg=f"seed={seed}")
 
 
+def test_fixpoint_chunked_matches_scan_fuzz():
+    """Chunked fixpoint (large-K form, on-the-fly IoU slabs) == chunked-scan
+    greedy, at a K spanning several slabs and on the adversarial chain."""
+    import jax.numpy as jnp
+
+    from yololite_tpu.ops.nms import _fixpoint_keep_chunked, _greedy_keep
+
+    for seed in range(8):
+        rng = np.random.default_rng(100 + seed)
+        n = 160  # chunk=64 -> 3 slabs (chunk arg below keeps the test fast)
+        centers = rng.uniform(20, 150, (n, 2))
+        wh = rng.uniform(10, 60, (n, 2))
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1).astype(np.float32)
+        boxes = boxes[np.argsort(-rng.random(n))]
+        valid = rng.random(n) > 0.1
+        fix = np.asarray(_fixpoint_keep_chunked(
+            jnp.asarray(boxes)[None], jnp.asarray(valid)[None], 0.5, chunk=64))[0]
+        seq = np.asarray(_greedy_keep(jnp.asarray(boxes), jnp.asarray(valid), 0.5))
+        np.testing.assert_array_equal(fix, seq, err_msg=f"seed={seed}")
+
+    # adversarial alternating chain with a hole (fixpoint's worst case)
+    n = 24
+    boxes = np.stack([
+        np.arange(n) * 6.0, np.zeros(n), np.arange(n) * 6.0 + 13.0, np.full(n, 10.0)
+    ], axis=1).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[5] = False
+    fix = np.asarray(_fixpoint_keep_chunked(
+        jnp.asarray(boxes)[None], jnp.asarray(valid)[None], 0.4, chunk=8))[0]
+    seq = np.asarray(_greedy_keep(jnp.asarray(boxes), jnp.asarray(valid), 0.4))
+    np.testing.assert_array_equal(fix, seq)
+
+
+def test_nms_large_k_fixpoint_mode_matches_scan():
+    """non_max_suppression's large-K branch under LARGE_K_MODE='fixpoint' must
+    emit identical detections to the default scan mode (multi-label val path)."""
+    from yololite_tpu.ops import nms as nms_mod
+
+    rng = np.random.default_rng(11)
+    a, nc = 600, 8
+    boxes = np.concatenate([rng.uniform(0, 300, (1, a, 2)),
+                            rng.uniform(10, 80, (1, a, 2))], -1).astype(np.float32)
+    boxes = np.asarray(xywh2xyxy(jnp.asarray(boxes)))
+    scores = rng.random((1, a, nc)).astype(np.float32) ** 4
+    kw = dict(conf_thres=0.001, iou_thres=0.7, max_det=300, max_cand=2048, multi_label=True)
+
+    ref = np.asarray(non_max_suppression(jnp.asarray(boxes), jnp.asarray(scores), **kw))
+    assert nms_mod.LARGE_K_MODE == "scan"
+    try:
+        nms_mod.LARGE_K_MODE = "fixpoint"
+        non_max_suppression.clear_cache()
+        out = np.asarray(non_max_suppression(jnp.asarray(boxes), jnp.asarray(scores), **kw))
+    finally:
+        nms_mod.LARGE_K_MODE = "scan"
+        non_max_suppression.clear_cache()
+    np.testing.assert_array_equal(out, ref)
+    assert (out[..., 4] > 0).sum() > 10  # non-trivial scene
+
+
 def test_nms_from_feats_large_k_scan_fallback():
     """max_cand > 1024 routes suppression through the chunked scan; results must
     match the standard decode+NMS path on the same maps."""

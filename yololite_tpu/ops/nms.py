@@ -118,6 +118,64 @@ def _fixpoint_keep(shifted: jnp.ndarray, valid: jnp.ndarray, iou_thres: float) -
     return keep
 
 
+def _fixpoint_keep_chunked(shifted: jnp.ndarray, valid: jnp.ndarray, iou_thres: float,
+                           chunk: int = 512) -> jnp.ndarray:
+    """Exact greedy keep via fixpoint sweeps with on-the-fly IoU slabs (large K).
+
+    Same fixpoint as _fixpoint_keep — iterate g(k)[j] = valid[j] & !any(i<j:
+    k[i] & iou(i,j) > thr) until stationary — but each sweep evaluates the
+    "any" by scanning (chunk, K) IoU slabs like _fast_keep, so the (K, K)
+    matrix never materializes. For the validator's K=8192 multi-label path
+    this trades ~sweeps x slab recompute for ~K/chunk x less serialization
+    vs _greedy_keep's 256-step scan (real detection data converges in a
+    handful of sweeps; adversarial alternating chains degrade toward K
+    sweeps, which the while_loop still terminates). Batched over B.
+    """
+    b, k = shifted.shape[0], shifted.shape[1]
+    chunk = min(chunk, k)
+    while k % chunk:
+        chunk //= 2
+    idx = jnp.arange(k)
+    shifted32 = shifted.astype(jnp.float32)
+
+    def sweep(keep):
+        def body(max_iou, ci):
+            base = ci * chunk
+            slab = jax.lax.dynamic_slice(shifted32, (0, base, 0), (b, chunk, 4))
+            rows = jax.vmap(box_iou)(slab, shifted32)  # (B, chunk, K)
+            kmask = jax.lax.dynamic_slice(keep, (0, base), (b, chunk))
+            row_ids = base + jnp.arange(chunk)
+            tri = (row_ids[:, None] < idx[None, :])[None] & kmask[:, :, None]
+            return jnp.maximum(max_iou, jnp.max(jnp.where(tri, rows, 0.0), axis=1)), None
+
+        max_iou, _ = jax.lax.scan(body, jnp.zeros((b, k), jnp.float32), jnp.arange(k // chunk))
+        return valid & (max_iou <= iou_thres)
+
+    def body(carry):
+        keep, _ = carry
+        new = sweep(keep)
+        return new, jnp.any(new != keep)
+
+    keep, _ = jax.lax.while_loop(lambda c: c[1], body, (valid, jnp.bool_(True)))
+    return keep
+
+
+# Large-K (> 1024) exact-greedy strategy: "scan" = per-image chunked serial scan
+# (_greedy_keep), "fixpoint" = batched chunked fixpoint sweeps. Both are
+# bit-identical to sequential greedy; the default stays "scan" until the
+# fixpoint form is measured faster on the validator workload on-chip
+# (docs/PERF.md round-3 "next levers"). Read at TRACE time: set it before the
+# first NMS call of the process (jit caches keyed on static args won't retrace
+# on a later flip).
+LARGE_K_MODE = "scan"
+
+
+def _keep_large_k(shifted: jnp.ndarray, valid: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
+    if LARGE_K_MODE == "fixpoint":
+        return _fixpoint_keep_chunked(shifted, valid, iou_thres)
+    return jax.vmap(functools.partial(_greedy_keep, iou_thres=iou_thres))(shifted, valid)
+
+
 def _select_candidates(boxes, scores, conf_thres, max_cand, multi_label, class_mask, approx=False):
     """Per-image: gate + top-K candidate selection -> (vals, boxes_k, cls, valid).
 
@@ -219,8 +277,8 @@ def non_max_suppression(
                 jax.vmap(functools.partial(_fast_keep, iou_thres=iou_thres))(shifted, valid))
     elif shifted.shape[1] <= 1024:  # exact greedy: fixpoint sweeps beat the serial scan
         keep = _fixpoint_keep(shifted, valid, iou_thres)
-    else:  # large K (validator max_cand=8192): (B,K,K) IoU won't fit; chunked scan
-        keep = jax.vmap(functools.partial(_greedy_keep, iou_thres=iou_thres))(shifted, valid)
+    else:  # large K (validator max_cand=8192): (B,K,K) IoU won't fit
+        keep = _keep_large_k(shifted, valid, iou_thres)
 
     return jax.vmap(functools.partial(_finalize, max_det=max_det))(cand_boxes, vals, cls, keep)
 
@@ -330,7 +388,7 @@ def nms_from_feats(
     elif k <= 1024:
         keep = _fixpoint_keep(shifted, valid, iou_thres)
     else:
-        keep = jax.vmap(functools.partial(_greedy_keep, iou_thres=iou_thres))(shifted, valid)
+        keep = _keep_large_k(shifted, valid, iou_thres)
     return jax.vmap(functools.partial(_finalize, max_det=max_det))(cand_boxes, vals, cls_k, keep)
 
 
