@@ -92,3 +92,79 @@ def test_fused_decode_nms_matches_reference_path():
                                       max_det=50, max_cand=128, interpret=True))
     assert (ref[..., 4] > 0).sum() == (out[..., 4] > 0).sum()
     np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+@pytest.mark.parametrize("shape", [(480, 640), (640, 480), (417, 333)])
+def test_device_letterbox_s2d_matches_reshuffle(shape):
+    """s2d letterbox == device_letterbox followed by a 2x2 space-to-depth."""
+    from yololite_tpu.ops.pallas_kernels import device_letterbox_s2d
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (2, *shape, 3), np.uint8)
+    full = np.asarray(device_letterbox(jnp.asarray(img), imgsz=320))  # (2,320,320,3)
+    s2d = np.asarray(device_letterbox_s2d(jnp.asarray(img), imgsz=320))  # (2,160,160,12)
+    assert s2d.shape == (2, 160, 160, 12)
+    ref = full.reshape(2, 160, 2, 160, 2, 3).transpose(0, 1, 3, 2, 4, 5).reshape(2, 160, 160, 12)
+    np.testing.assert_allclose(s2d, ref, atol=1e-6)
+
+
+def test_stem_s2d_fold_matches_strided_conv():
+    """Folded k2s1 conv on the s2d layout == fused k3s2 Conv on the full image,
+    including the zero-pad border rows/cols."""
+    from yololite_tpu.models.modules import Conv, KeyGen, fold_stem_s2d, stem_s2d_apply
+
+    conv = Conv(3, 16, k=3, s=2)
+    params, state = conv.init(KeyGen(5))
+    rng = np.random.default_rng(6)
+    # randomize BN so the fuse is non-trivial
+    params["bn"]["scale"] = jnp.asarray(rng.uniform(0.5, 2, 16).astype(np.float32))
+    params["bn"]["bias"] = jnp.asarray(rng.uniform(-1, 1, 16).astype(np.float32))
+    state["bn"]["mean"] = jnp.asarray(rng.uniform(-1, 1, 16).astype(np.float32))
+    state["bn"]["var"] = jnp.asarray(rng.uniform(0.5, 2, 16).astype(np.float32))
+    fused = Conv.fuse(params, state)
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    import yololite_tpu.models.modules as M
+
+    ref = conv(fused, {}, x, M.Ctx(train=False))  # fused path: conv + b + silu
+    xs = jnp.asarray(
+        np.asarray(x).reshape(2, 16, 2, 16, 2, 3).transpose(0, 1, 3, 2, 4, 5).reshape(2, 16, 16, 12)
+    )
+    out = stem_s2d_apply(conv, fused, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # the unused (0, 0) block taps must be exactly zero
+    w2 = np.asarray(fold_stem_s2d(fused["conv"]["w"]))
+    np.testing.assert_array_equal(w2[0, 0, :3], 0.0)
+    np.testing.assert_array_equal(w2[0, 1, :3], 0.0)  # (dy=0 of block row 0) never read
+    # tap (1,1) channel block (dy,dx)=(0,0) comes from the kernel center w[1,1]
+    np.testing.assert_array_equal(w2[1, 1, 0:3], np.asarray(fused["conv"]["w"])[1, 1])
+
+
+def test_predictor_s2d_stem_matches_default(tmp_path):
+    """End-to-end predict with USE_S2D_STEM: same boxes as the default graph."""
+    import yololite_tpu.engine.predictor as pred_mod
+    from yololite_tpu.models.model import DetectionModel
+    from yololite_tpu.models.modules import stem_s2d_apply, fuse_tree
+    from yololite_tpu.ops.nms import nms_from_feats
+    from yololite_tpu.ops.pallas_kernels import device_letterbox_s2d
+
+    model = DetectionModel("yolo11n.yaml", nc=4)
+    params, state = model.init(0)
+    fp, fs = fuse_tree(params, state)
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (1, 97, 130, 3), np.uint8)
+
+    # default graph: full letterbox + full apply
+    from yololite_tpu.ops.pallas_kernels import device_letterbox
+
+    x = device_letterbox(jnp.asarray(img), imgsz=64)
+    feats_ref = model.apply(fp, fs, x, train=False)
+
+    # s2d graph
+    xs = device_letterbox_s2d(jnp.asarray(img), imgsz=64)
+    y0 = stem_s2d_apply(model.rows[0].mod, fp["0"], xs)
+    feats = model.apply(fp, fs, y0, train=False, start=1)
+    assert 0 not in model.save
+    for a, b in zip(feats, feats_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -36,6 +36,13 @@ from yololite_tpu.utils.profile import Profile
 # own fused reductions on v5e so far (docs/PERF.md); flip when a win lands.
 USE_FUSED_DECODE = False
 
+# Space-to-depth stem for the device-preproc predict path: the letterbox emits
+# the (S/2, S/2, 12) s2d layout directly and layer 0 runs as a folded k2s1 conv
+# (modules.fold_stem_s2d), so the (S, S, 3) worst-tiling layout never exists.
+# Exactness-tested; default off until measured faster on-chip (docs/PERF.md
+# round-3 "next levers"). Read at graph-build time (setup_model).
+USE_S2D_STEM = False
+
 
 class DetectionPredictor:
     """Holds the jitted inference graph and the streaming loop state."""
@@ -125,6 +132,19 @@ class DetectionPredictor:
         # flip USE_FUSED_DECODE when a measured win lands.
         use_fused = USE_FUSED_DECODE and not augment and class_mask is None
 
+        # s2d stem gate: layer 0 must be a plain fused k3s2 Conv whose output
+        # no later row taps, and the weights must stay float (the int8 swap
+        # rewrites layer-0 params after this graph is built)
+        from yololite_tpu.models.modules import Conv as _Conv
+
+        row0 = model.rows[0].mod
+        use_s2d = (
+            USE_S2D_STEM and not use_fused and not augment and not bool(self.args.int8)
+            and isinstance(row0, _Conv) and row0.k == 3 and row0.downsample == 2
+            and row0.g == 1 and row0.act is True and 0 not in model.save
+            and "bn" not in params.get("0", {})
+        )
+
         # top-K candidate pool for the single-label predict path: 256 covers any
         # realistic above-conf count at the 0.25 default (measured sweep,
         # docs/PERF.md round 3), but never cap below the user's max_det, and
@@ -171,6 +191,21 @@ class DetectionPredictor:
             """
             from yololite_tpu.ops.pallas_kernels import device_letterbox
 
+            if use_s2d:  # letterbox straight into the s2d layout; folded k2s1 stem
+                from yololite_tpu.models.modules import stem_s2d_apply
+                from yololite_tpu.ops.nms import nms_from_feats
+                from yololite_tpu.ops.pallas_kernels import device_letterbox_s2d
+
+                xs = device_letterbox_s2d(
+                    raw_uint8, imgsz=imgsz, out_dtype_name="bfloat16" if half else "float32"
+                )
+                y0 = stem_s2d_apply(row0, params["0"], xs)
+                feats = model.apply(params, state, y0, train=False, start=1)
+                return nms_from_feats(
+                    feats, strides, nc, reg_max, conf_thres=conf, iou_thres=iou,
+                    max_det=max_det, max_cand=pred_max_cand, agnostic=agnostic,
+                    class_mask=class_mask, half=half,
+                )
             x = device_letterbox(raw_uint8, imgsz=imgsz, out_dtype_name="bfloat16" if half else "float32")
             if use_fused:
                 from yololite_tpu.ops.nms import fused_decode_nms

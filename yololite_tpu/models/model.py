@@ -308,12 +308,19 @@ class DetectionModel:
 
     # ---- forward ----
 
-    def apply(self, params, state, x, train: bool = False, ctx: Optional[M.Ctx] = None):
-        """Run the graph. x: (B, H, W, 3) NHWC. Returns list of per-level maps."""
+    def apply(self, params, state, x, train: bool = False, ctx: Optional[M.Ctx] = None,
+              start: int = 0):
+        """Run the graph. x: (B, H, W, 3) NHWC. Returns list of per-level maps.
+
+        start > 0 resumes mid-graph: x is then the output of row start-1
+        (used by the s2d-stem predict path, which runs layer 0 itself on the
+        space-to-depth layout; only valid when no skipped row is in the
+        save list, which the caller checks).
+        """
         ctx = ctx or M.Ctx(train=train)
         saved: Dict[int, jnp.ndarray] = {}
         y = x
-        for row in self.rows:
+        for row in self.rows[start:]:
             if isinstance(row.f, int):
                 inp = y if row.f == -1 else saved[row.f]
             else:

@@ -239,6 +239,48 @@ def fuse_tree(params: Dict, state: Dict):
     return new_p, new_s
 
 
+def fold_stem_s2d(w: jnp.ndarray) -> jnp.ndarray:
+    """Fold a k3s2 stem kernel onto the 2x2 space-to-depth input layout.
+
+    w: (3, 3, C_in, C_out) HWIO -> (2, 2, 4*C_in, C_out) for a k2s1 conv with
+    asymmetric padding ((1, 0), (1, 0)) over the s2d grid of
+    device_letterbox_s2d (channel layout (dy*2+dx)*C_in + c). Exact identity:
+    original output row i reads input rows 2i-1..2i+1, which live in s2d
+    blocks i-1 (odd row) and i (both rows) — kernel tap dy0 in {0,1,2} maps to
+    (block, intra-row) = {0:(0,1), 1:(1,0), 2:(1,1)}; block position (0,0)
+    never occurs and stays zero. Same math in x. Output spatial size
+    (S/2 + 1) - 2 + 1 = S/2 matches the strided original.
+    """
+    kh, kw, ci, co = w.shape
+    if (kh, kw) != (3, 3):
+        raise ValueError(f"s2d fold expects a 3x3 kernel, got {(kh, kw)}")
+    pos = {0: (0, 1), 1: (1, 0), 2: (1, 1)}  # kernel tap -> (block idx, intra-block)
+    w2 = jnp.zeros((2, 2, 4 * ci, co), w.dtype)
+    for dy0 in range(3):
+        bi, dy = pos[dy0]
+        for dx0 in range(3):
+            bj, dx = pos[dx0]
+            ch = (dy * 2 + dx) * ci
+            w2 = w2.at[bi, bj, ch:ch + ci].set(w[dy0, dx0])
+    return w2
+
+
+def stem_s2d_apply(conv: "Conv", params: Dict, x_s2d: jnp.ndarray) -> jnp.ndarray:
+    """Run a fused layer-0 Conv (k3 s2 p1 g1) on the s2d letterbox layout.
+
+    Equivalent (within f32 accumulation order) to conv(params, x) on the full
+    (S, S, 3) image; requires fused params ({'conv': {'w', 'b'}}). The small
+    weight fold runs per call (9 tiny scatters; XLA hoists it off the hot path).
+    """
+    w2 = fold_stem_s2d(params["conv"]["w"])
+    y = jax.lax.conv_general_dilated(
+        x_s2d, w2.astype(x_s2d.dtype), window_strides=(1, 1),
+        padding=[(1, 0), (1, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y + params["conv"]["b"].astype(y.dtype)
+    return conv._act(y)
+
+
 class Conv2d(Module):
     """Plain Conv2d with optional bias (used as the final 1x1 in Detect branches)."""
 

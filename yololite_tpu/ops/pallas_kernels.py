@@ -113,6 +113,56 @@ def device_letterbox(images: jnp.ndarray, imgsz: int = 640, out_dtype_name: str 
     return (x / 255.0).astype(out_dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("imgsz", "out_dtype_name"))
+def device_letterbox_s2d(images: jnp.ndarray, imgsz: int = 640,
+                         out_dtype_name: str = "float32") -> jnp.ndarray:
+    """Device letterbox emitting the 2x2 space-to-depth layout directly.
+
+    images: (B, H0, W0, 3) uint8 RGB -> (B, imgsz/2, imgsz/2, 12) with channel
+    layout c_out = (dy*2+dx)*3 + c, i.e.
+        out[b, i, j, (dy*2+dx)*3+c] == device_letterbox(images)[b, 2i+dy, 2j+dx, c]
+    bit-for-bit: each output element is the same interpolation dot product —
+    the row/col interpolation matrices are sliced dy::2 / dx::2 instead of the
+    output being reshuffled afterwards (no gathers; round-1 dead end #1).
+    Padding and the 114 fill fold into the matrices (zero rows in the pad band
+    plus an additive outside-mask), so the geometry is exactly the reference
+    LetterBox (augment.py:612-700) at half spatial resolution x4 channels.
+
+    Feeds the folded k2s1 stem (modules.fold_stem_s2d): the (S, S, 3) layout is
+    the forward's worst tiling case, and this keeps it from ever existing.
+    """
+    out_dtype = jnp.dtype(out_dtype_name)
+    b, h0, w0, c = images.shape
+    if imgsz % 2:
+        raise ValueError(f"s2d letterbox needs an even imgsz, got {imgsz}")
+    r = min(imgsz / h0, imgsz / w0)
+    new_w, new_h = int(round(w0 * r)), int(round(h0 * r))
+    dw, dh = (imgsz - new_w) / 2, (imgsz - new_h) / 2
+    top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+
+    py = np.zeros((imgsz, h0), np.float32)
+    py[top:top + new_h] = _interp_matrix(new_h, h0)
+    px = np.zeros((imgsz, w0), np.float32)
+    px[left:left + new_w] = _interp_matrix(new_w, w0)
+    my = np.zeros(imgsz, np.float32)
+    my[top:top + new_h] = 1.0
+    mx = np.zeros(imgsz, np.float32)
+    mx[left:left + new_w] = 1.0
+
+    x = images.astype(jnp.float32)
+    t = [jnp.einsum("yh,bhwc->bywc", jnp.asarray(py[dy::2]), x,
+                    preferred_element_type=jnp.float32) for dy in (0, 1)]
+    blocks = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            blk = jnp.einsum("xw,bywc->byxc", jnp.asarray(px[dx::2]), t[dy],
+                             preferred_element_type=jnp.float32)
+            fill = 114.0 * (1.0 - np.outer(my[dy::2], mx[dx::2]))  # (S/2, S/2)
+            blocks.append(blk + jnp.asarray(fill)[None, :, :, None])
+    out = jnp.concatenate(blocks, axis=-1)
+    return (out / 255.0).astype(out_dtype)
+
+
 # ---------------- fused decode + candidate-select kernel ----------------
 
 
