@@ -94,7 +94,7 @@ def test_fused_decode_nms_matches_reference_path():
     np.testing.assert_allclose(out, ref, atol=1e-3)
 
 
-@pytest.mark.parametrize("shape", [(480, 640), (640, 480), (417, 333)])
+@pytest.mark.parametrize("shape", [(480, 640), (640, 480), (417, 333), (320, 320)])
 def test_device_letterbox_s2d_matches_reshuffle(shape):
     """s2d letterbox == device_letterbox followed by a 2x2 space-to-depth."""
     from yololite_tpu.ops.pallas_kernels import device_letterbox_s2d

@@ -140,6 +140,15 @@ def device_letterbox_s2d(images: jnp.ndarray, imgsz: int = 640,
     dw, dh = (imgsz - new_w) / 2, (imgsz - new_h) / 2
     top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
 
+    if (h0, w0) == (imgsz, imgsz):  # identity (no resize, no pad): relayout copy
+        # beats running identity matmuls (~2 HBM-roundtrip matmul passes); the
+        # round-1 "gather" dead end was strided SLICES -- this is one
+        # reshape/transpose relayout XLA lowers as a copy
+        x = images.astype(jnp.float32)
+        h = imgsz // 2
+        x = x.reshape(b, h, 2, h, 2, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, h, h, 4 * c)
+        return (x / 255.0).astype(out_dtype)
+
     py = np.zeros((imgsz, h0), np.float32)
     py[top:top + new_h] = _interp_matrix(new_h, h0)
     px = np.zeros((imgsz, w0), np.float32)
