@@ -1,0 +1,27 @@
+#!/bin/bash
+# Round-3 TPU-recovery benchmark queue. Run detached when the tunnel comes back:
+#   setsid nohup bash tools/r3_recovery.sh > /tmp/r3_recovery.log 2>&1 &
+# Sequential (remote compiles serialize; parallel jobs contend and can wedge),
+# generous timeouts (>=45 min: never SIGTERM an ACTIVE remote compile — that is
+# what wedges the relay; 45 min of no progress means it is already wedged).
+set -x
+cd "$(dirname "$0")/.."
+date
+# 1. sanity
+timeout 900 python -c "import jax,jax.numpy as jnp; x=jax.device_put(jnp.ones((8,8))); print('sanity', float((x@x).sum()))" || exit 1
+# 2. train-step profile split (VERDICT r2 weak #3 / next-round #3)
+timeout 2700 python tools/train_profile.py
+date
+# 3. train-step throughput (target >=1000 img/s amp bs=64)
+timeout 2700 python tools/train_bench.py 64 1
+date
+# 4. validator large-K NMS: scan vs fixpoint
+timeout 2700 python tools/valnms_bench.py 8 8
+date
+# 5. s2d stem e2e
+timeout 2700 python tools/s2d_bench.py 128 16
+date
+# 6. headline refresh
+timeout 3600 python bench.py
+date
+echo R3_RECOVERY_DONE

@@ -62,25 +62,29 @@ def main(batch=16, amp="0"):
     ITERS = 10
     ema = jax.tree.map(jnp.copy, params)
 
-    @jax.jit
-    def loop(params, state, opt_state, ema, images, gl, gb, mg):
-        def body(carry, _):
-            params, opt_state, ema, tot = carry
-            params, opt_state, ema, total = step(params, state, opt_state, ema, images, gl, gb, mg,
-                                                 jnp.float32(0.01))
-            return (params, opt_state, ema, total), None
+    # Timing: chain the jitted step through its own carried pytrees (params ->
+    # next call) and force with ONE scalar fetch at the end. NEVER lax.scan the
+    # full training step on this tunnel: a scan-of-train-step wedged the remote
+    # compiler for hours (docs/PERF.md round-3 tunnel facts).
+    def chain(params, opt_state, ema):
+        total = jnp.float32(0)
+        for _ in range(ITERS):
+            params, opt_state, ema, total = step(
+                params, state, opt_state, ema, images, t["gt_labels"], t["gt_bboxes"],
+                t["mask_gt"], jnp.float32(0.01))
+        return params, opt_state, ema, total
 
-        (params, opt_state, ema, total), _ = jax.lax.scan(
-            body, (params, opt_state, ema, jnp.float32(0)), None, length=ITERS
-        )
-        return total
-
-    args = (params, state, opt_state, ema, images, t["gt_labels"], t["gt_bboxes"], t["mask_gt"])
-    float(loop(*args))  # compile + run
     t0 = time.perf_counter()
-    float(loop(*args))
-    dt = (time.perf_counter() - t0) / ITERS
-    print(f"train step bs={batch} 640px amp={amp}: {dt * 1e3:.1f} ms/step -> {batch / dt:.0f} img/s")
+    p1, o1, e1, total = chain(params, opt_state, ema)
+    float(total)  # compile + one chain
+    print(f"compile+{ITERS} chained steps: {time.perf_counter() - t0:.0f}s", flush=True)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _, _, _, total = chain(params, opt_state, ema)
+        float(total)  # one sync forces the whole dependent chain
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    print(f"train step bs={batch} 640px amp={amp}: {best * 1e3:.1f} ms/step -> {batch / best:.0f} img/s")
 
 
 if __name__ == "__main__":
