@@ -327,3 +327,27 @@ def test_predict_visualize_feature_maps(fake_pt, tmp_path):
               project=str(tmp_path), name="vis")
     pngs = list(tmp_path.rglob("*.png"))
     assert pngs, "feature visualization should write stage PNGs"
+
+
+def test_predict_s2d_stem_flag_matches_default(fake_pt):
+    """USE_S2D_STEM end-to-end through the public API: same detections as the
+    default graph (the folded stem differs only in f32 accumulation order)."""
+    import yololite_tpu.engine.predictor as pred_mod
+    from yololite_tpu import YOLOLite
+
+    pt, _ = fake_pt
+    img = np.asarray(
+        np.random.default_rng(2).integers(0, 255, (200, 320, 3)), np.uint8
+    )
+    m = YOLOLite(pt)
+    ref = m.predict([img], conf=1e-4, verbose=False, save=False, imgsz=192)[0]
+    assert pred_mod.USE_S2D_STEM is False
+    try:
+        pred_mod.USE_S2D_STEM = True
+        m2 = YOLOLite(pt)
+        out = m2.predict([img], conf=1e-4, verbose=False, save=False, imgsz=192)[0]
+    finally:
+        pred_mod.USE_S2D_STEM = False
+    a, b = ref.boxes.data, out.boxes.data
+    assert a.shape == b.shape and len(a) > 0
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-3)

@@ -163,9 +163,29 @@ class DetectionPredictor:
                 class_mask=class_mask, half=half,
             )
 
+        def _maybe_s2d_feats(params, state, x):
+            """s2d variant of the forward (flag-gated): relayout the letterboxed
+            input to the 2x2 space-to-depth grid and run the folded k2s1 stem."""
+            from yololite_tpu.models.modules import stem_s2d_apply
+
+            b, hh, ww, cc = x.shape
+            xs = x.reshape(b, hh // 2, 2, ww // 2, 2, cc)
+            xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh // 2, ww // 2, 4 * cc)
+            y0 = stem_s2d_apply(row0, params["0"], xs)
+            return model.apply(params, state, y0, train=False, start=1)
+
         @jax.jit
         def _infer(params, state, images):
             x = images.astype(jnp.bfloat16) if half else images
+            if use_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                from yololite_tpu.ops.nms import nms_from_feats
+
+                feats = _maybe_s2d_feats(params, state, x)
+                return nms_from_feats(
+                    feats, strides, nc, reg_max, conf_thres=conf, iou_thres=iou,
+                    max_det=max_det, max_cand=pred_max_cand, agnostic=agnostic,
+                    class_mask=class_mask, half=half,
+                )
             if use_fused:
                 from yololite_tpu.ops.nms import fused_decode_nms
 
