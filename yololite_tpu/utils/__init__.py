@@ -120,6 +120,13 @@ def yaml_load(file, append_filename=False):
     return data
 
 
+def yaml_print(yaml_file):
+    """Pretty-print a YAML file or dict to the log (reference utils/__init__.py yaml_print)."""
+    data = yaml_load(yaml_file) if isinstance(yaml_file, (str, Path)) else yaml_file
+    dump = yaml.safe_dump(data, sort_keys=False, allow_unicode=True, width=120)
+    LOGGER.info(f"Printing '{colorstr('bold', 'black', yaml_file)}'\n\n{dump}")
+
+
 def yaml_save(file, data):
     """Save a dict to a YAML file, creating parent dirs as needed."""
     path = Path(file)
