@@ -21,6 +21,9 @@ date
 # 5. s2d stem e2e
 timeout 2700 python tools/s2d_bench.py 128 16
 date
+# 5b. device-ceiling recalibration (matmul/HBM sweep + stem conv reality)
+timeout 2700 python tools/roofline.py
+date
 # 6. headline refresh
 timeout 3600 python bench.py
 date
