@@ -351,3 +351,18 @@ def test_predict_s2d_stem_flag_matches_default(fake_pt):
     a, b = ref.boxes.data, out.boxes.data
     assert a.shape == b.shape and len(a) > 0
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-3)
+
+
+def test_predict_rect_imgsz(fake_pt):
+    """Non-square imgsz [h, w] flows through letterbox, forward and NMS with
+    correct per-level (h, w) grids and boxes inside the original image."""
+    from yololite_tpu import YOLOLite
+
+    pt, _ = fake_pt
+    img = np.asarray(np.random.default_rng(3).integers(0, 255, (300, 400, 3)), np.uint8)
+    m = YOLOLite(pt)
+    r = m.predict([img], conf=1e-6, verbose=False, save=False, imgsz=[192, 256])[0]
+    assert len(r.boxes) > 0
+    xyxy = np.asarray(r.boxes.xyxy)
+    assert (xyxy[:, 0] >= 0).all() and (xyxy[:, 2] <= 400).all()
+    assert (xyxy[:, 1] >= 0).all() and (xyxy[:, 3] <= 300).all()
