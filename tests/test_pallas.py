@@ -168,3 +168,70 @@ def test_predictor_s2d_stem_matches_default(tmp_path):
     assert 0 not in model.save
     for a, b in zip(feats, feats_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+@pytest.mark.parametrize("shape", [(480, 640), (417, 333), (320, 320)])
+def test_device_letterbox_s4d_matches_double_s2d(shape):
+    """s4d letterbox == 2x2 s2d of the s2d letterbox (same channel layout the
+    stem fold expects)."""
+    from yololite_tpu.ops.pallas_kernels import device_letterbox_s2d, device_letterbox_s4d
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (2, *shape, 3), np.uint8)
+    s2d = np.asarray(device_letterbox_s2d(jnp.asarray(img), imgsz=320))  # (2,160,160,12)
+    s4d = np.asarray(device_letterbox_s4d(jnp.asarray(img), imgsz=320))  # (2,80,80,48)
+    assert s4d.shape == (2, 80, 80, 48)
+    ref = s2d.reshape(2, 80, 2, 80, 2, 12).transpose(0, 1, 3, 2, 4, 5).reshape(2, 80, 80, 48)
+    np.testing.assert_allclose(s4d, ref, atol=1e-6)
+
+
+def test_stem_s4d_fold_matches_two_convs():
+    """fold_stem_s4d + fold_stem_s2d pipeline == conv1(conv0(x)) on the full
+    image (both fused k3s2 Convs), including all pad borders."""
+    import yololite_tpu.models.modules as M
+    from yololite_tpu.models.modules import Conv, KeyGen, stem_s4d_apply
+
+    kg = KeyGen(11)
+    conv0, conv1 = Conv(3, 16, k=3, s=2), Conv(16, 32, k=3, s=2)
+    rng = np.random.default_rng(12)
+
+    def fused(conv):
+        p, s = conv.init(kg)
+        p["bn"]["scale"] = jnp.asarray(rng.uniform(0.5, 2, conv.c2).astype(np.float32))
+        p["bn"]["bias"] = jnp.asarray(rng.uniform(-1, 1, conv.c2).astype(np.float32))
+        s["bn"]["mean"] = jnp.asarray(rng.uniform(-1, 1, conv.c2).astype(np.float32))
+        s["bn"]["var"] = jnp.asarray(rng.uniform(0.5, 2, conv.c2).astype(np.float32))
+        return Conv.fuse(p, s)
+
+    p0, p1 = fused(conv0), fused(conv1)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    ctx = M.Ctx(train=False)
+    ref = conv1(p1, {}, conv0(p0, {}, x, ctx), ctx)  # (2, 8, 8, 32)
+
+    xs4 = np.asarray(x).reshape(2, 8, 2, 2, 8, 2, 2, 3).transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(2, 8, 8, 48)
+    out = stem_s4d_apply(conv0, conv1, p0, p1, jnp.asarray(xs4))
+    assert out.shape == np.asarray(ref).shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_model_s4d_stem_feats_match(tmp_path):
+    """Full model: s4d letterbox + fused stem + apply(start=2) == default path."""
+    from yololite_tpu.models.model import DetectionModel
+    from yololite_tpu.models.modules import fuse_tree, stem_s4d_apply
+    from yololite_tpu.ops.pallas_kernels import device_letterbox, device_letterbox_s4d
+
+    model = DetectionModel("yolo11n.yaml", nc=4)
+    params, state = model.init(0)
+    fp, fs = fuse_tree(params, state)
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 255, (1, 150, 100, 3), np.uint8)
+
+    x = device_letterbox(jnp.asarray(img), imgsz=64)
+    feats_ref = model.apply(fp, fs, x, train=False)
+
+    xs = device_letterbox_s4d(jnp.asarray(img), imgsz=64)
+    y1 = stem_s4d_apply(model.rows[0].mod, model.rows[1].mod, fp["0"], fp["1"], xs)
+    feats = model.apply(fp, fs, y1, train=False, start=2)
+    assert 0 not in model.save and 1 not in model.save
+    for a, b in zip(feats, feats_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)

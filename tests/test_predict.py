@@ -366,3 +366,27 @@ def test_predict_rect_imgsz(fake_pt):
     xyxy = np.asarray(r.boxes.xyxy)
     assert (xyxy[:, 0] >= 0).all() and (xyxy[:, 2] <= 400).all()
     assert (xyxy[:, 1] >= 0).all() and (xyxy[:, 3] <= 300).all()
+
+
+def test_predict_s4d_stem_flag_matches_default(fake_pt):
+    """USE_S4D_STEM end-to-end through the public API: same detections as the
+    default graph (both stem convs folded onto the 4x4 s2d layout)."""
+    import yololite_tpu.engine.predictor as pred_mod
+    from yololite_tpu import YOLOLite
+
+    pt, _ = fake_pt
+    img = np.asarray(
+        np.random.default_rng(4).integers(0, 255, (210, 330, 3)), np.uint8
+    )
+    m = YOLOLite(pt)
+    ref = m.predict([img], conf=1e-4, verbose=False, save=False, imgsz=192)[0]
+    assert pred_mod.USE_S4D_STEM is False
+    try:
+        pred_mod.USE_S4D_STEM = True
+        m2 = YOLOLite(pt)
+        out = m2.predict([img], conf=1e-4, verbose=False, save=False, imgsz=192)[0]
+    finally:
+        pred_mod.USE_S4D_STEM = False
+    a, b = ref.boxes.data, out.boxes.data
+    assert a.shape == b.shape and len(a) > 0
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-3)

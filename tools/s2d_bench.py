@@ -28,9 +28,10 @@ def main(bs=128, iters=16):
     import jax.numpy as jnp
 
     from yololite_tpu.models.model import DetectionModel
-    from yololite_tpu.models.modules import fuse_tree, stem_s2d_apply
+    from yololite_tpu.models.modules import fuse_tree, stem_s2d_apply, stem_s4d_apply
     from yololite_tpu.ops.nms import nms_from_feats
-    from yololite_tpu.ops.pallas_kernels import device_letterbox, device_letterbox_s2d
+    from yololite_tpu.ops.pallas_kernels import (
+        device_letterbox, device_letterbox_s2d, device_letterbox_s4d)
 
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", flush=True)
@@ -66,11 +67,23 @@ def main(bs=128, iters=16):
         out, _ = jax.lax.scan(body, salt, None, length=iters)
         return out
 
+    @jax.jit
+    def run_s4d(params, state, raw, salt):
+        def body(c, _):
+            xs = device_letterbox_s4d(raw + c.astype(raw.dtype) * 0, imgsz=640, out_dtype_name="bfloat16")
+            y1 = stem_s4d_apply(model.rows[0].mod, model.rows[1].mod, params["0"], params["1"], xs)
+            feats = model.apply(params, state, y1, train=False, start=2)
+            dets = nms_from_feats(feats, model.strides, model.nc, model.reg_max, **nms_kw)
+            return (jnp.sum(dets) * 1e-12).astype(jnp.float32), None
+
+        out, _ = jax.lax.scan(body, salt, None, length=iters)
+        return out
+
     rng = np.random.default_rng(0)
     for shape in ((640, 640), (480, 640)):
         raw = jax.device_put(jnp.asarray(rng.integers(0, 255, (bs, *shape, 3)), jnp.uint8))
         rates = {}
-        for name, fn in (("default", run_default), ("s2d", run_s2d)):
+        for name, fn in (("default", run_default), ("s2d", run_s2d), ("s4d", run_s4d)):
             try:
                 t0 = time.perf_counter()
                 float(fn(params, state, raw, jnp.float32(0)))
@@ -84,8 +97,9 @@ def main(bs=128, iters=16):
                 print(f"{shape} {name}: {best:.1f} img/s", flush=True)
             except Exception as e:
                 print(f"{shape} {name}: {type(e).__name__}: {e}", flush=True)
-        if len(rates) == 2:
-            print(f"{shape}: s2d/default = {rates['s2d'] / rates['default']:.3f}x", flush=True)
+        for k in ("s2d", "s4d"):
+            if k in rates and "default" in rates:
+                print(f"{shape}: {k}/default = {rates[k] / rates['default']:.3f}x", flush=True)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,12 @@ USE_FUSED_DECODE = False
 # round-3 "next levers"). Read at graph-build time (setup_model).
 USE_S2D_STEM = False
 
+# 4x4 variant: the letterbox emits (S/4, S/4, 48) and BOTH stem convs run as
+# folded k2s1 convs with wide contractions (48->64 s2d-out, then 64->c2), so
+# neither the (S, S, 3) nor the (S/2, S/2, c1) narrow layout ever exists
+# (modules.fold_stem_s4d). Takes precedence over USE_S2D_STEM when both set.
+USE_S4D_STEM = False
+
 
 class DetectionPredictor:
     """Holds the jitted inference graph and the streaming loop state."""
@@ -137,13 +143,16 @@ class DetectionPredictor:
         # rewrites layer-0 params after this graph is built)
         from yololite_tpu.models.modules import Conv as _Conv
 
+        def _plain_stem_conv(i):
+            m = model.rows[i].mod
+            return (isinstance(m, _Conv) and m.k == 3 and m.downsample == 2
+                    and m.g == 1 and m.act is True and i not in model.save
+                    and "bn" not in params.get(str(i), {}))
+
+        _stem_ok = (not use_fused and not augment and not bool(self.args.int8))
         row0 = model.rows[0].mod
-        use_s2d = (
-            USE_S2D_STEM and not use_fused and not augment and not bool(self.args.int8)
-            and isinstance(row0, _Conv) and row0.k == 3 and row0.downsample == 2
-            and row0.g == 1 and row0.act is True and 0 not in model.save
-            and "bn" not in params.get("0", {})
-        )
+        use_s4d = USE_S4D_STEM and _stem_ok and _plain_stem_conv(0) and _plain_stem_conv(1)
+        use_s2d = (USE_S2D_STEM and not use_s4d and _stem_ok and _plain_stem_conv(0))
 
         # top-K candidate pool for the single-label predict path: 256 covers any
         # realistic above-conf count at the 0.25 default (measured sweep,
@@ -164,20 +173,28 @@ class DetectionPredictor:
             )
 
         def _maybe_s2d_feats(params, state, x):
-            """s2d variant of the forward (flag-gated): relayout the letterboxed
-            input to the 2x2 space-to-depth grid and run the folded k2s1 stem."""
-            from yololite_tpu.models.modules import stem_s2d_apply
+            """s2d/s4d variant of the forward (flag-gated): relayout the
+            letterboxed input to the space-to-depth grid and run the folded
+            k2s1 stem conv(s)."""
+            from yololite_tpu.models.modules import stem_s2d_apply, stem_s4d_apply
 
             b, hh, ww, cc = x.shape
+            if use_s4d:
+                xs = x.reshape(b, hh // 4, 2, 2, ww // 4, 2, 2, cc)
+                xs = xs.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, hh // 4, ww // 4, 16 * cc)
+                y1 = stem_s4d_apply(row0, model.rows[1].mod, params["0"], params["1"], xs)
+                return model.apply(params, state, y1, train=False, start=2)
             xs = x.reshape(b, hh // 2, 2, ww // 2, 2, cc)
             xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh // 2, ww // 2, 4 * cc)
             y0 = stem_s2d_apply(row0, params["0"], xs)
             return model.apply(params, state, y0, train=False, start=1)
 
+        _sdiv = 4 if use_s4d else 2
+
         @jax.jit
         def _infer(params, state, images):
             x = images.astype(jnp.bfloat16) if half else images
-            if use_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            if (use_s2d or use_s4d) and x.shape[1] % _sdiv == 0 and x.shape[2] % _sdiv == 0:
                 from yololite_tpu.ops.nms import nms_from_feats
 
                 feats = _maybe_s2d_feats(params, state, x)
@@ -211,16 +228,22 @@ class DetectionPredictor:
             """
             from yololite_tpu.ops.pallas_kernels import device_letterbox
 
-            if use_s2d:  # letterbox straight into the s2d layout; folded k2s1 stem
-                from yololite_tpu.models.modules import stem_s2d_apply
+            if (use_s2d or use_s4d) and imgsz % _sdiv == 0:
+                # letterbox straight into the s2d/s4d layout; folded k2s1 stem
+                from yololite_tpu.models.modules import stem_s2d_apply, stem_s4d_apply
                 from yololite_tpu.ops.nms import nms_from_feats
-                from yololite_tpu.ops.pallas_kernels import device_letterbox_s2d
+                from yololite_tpu.ops.pallas_kernels import (
+                    device_letterbox_s2d, device_letterbox_s4d)
 
-                xs = device_letterbox_s2d(
-                    raw_uint8, imgsz=imgsz, out_dtype_name="bfloat16" if half else "float32"
-                )
-                y0 = stem_s2d_apply(row0, params["0"], xs)
-                feats = model.apply(params, state, y0, train=False, start=1)
+                dt = "bfloat16" if half else "float32"
+                if use_s4d:
+                    xs = device_letterbox_s4d(raw_uint8, imgsz=imgsz, out_dtype_name=dt)
+                    y = stem_s4d_apply(row0, model.rows[1].mod, params["0"], params["1"], xs)
+                    feats = model.apply(params, state, y, train=False, start=2)
+                else:
+                    xs = device_letterbox_s2d(raw_uint8, imgsz=imgsz, out_dtype_name=dt)
+                    y = stem_s2d_apply(row0, params["0"], xs)
+                    feats = model.apply(params, state, y, train=False, start=1)
                 return nms_from_feats(
                     feats, strides, nc, reg_max, conf_thres=conf, iou_thres=iou,
                     max_det=max_det, max_cand=pred_max_cand, agnostic=agnostic,

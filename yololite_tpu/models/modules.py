@@ -265,6 +265,66 @@ def fold_stem_s2d(w: jnp.ndarray) -> jnp.ndarray:
     return w2
 
 
+def fold_stem_s4d(w: jnp.ndarray) -> jnp.ndarray:
+    """Fold a k3s2 stem kernel into s4d-in / s2d-out form.
+
+    w: (3, 3, C, O) HWIO -> (2, 2, 16*C, 4*O) for a k2s1 conv with padding
+    ((1, 0), (1, 0)) over the 4x4 space-to-depth grid (s2d applied twice:
+    input channel ((dy2*2+dx2)*4 + (dy1*2+dx1))*C + c holds original pixel
+    (4i + 2*dy2 + dy1, 4j + 2*dx2 + dx1); output channel (dy*2+dx)*O + o holds
+    conv-output pixel (2i+dy, 2j+dx), i.e. the s2d layout fold_stem_s2d's
+    consumer expects). Derivation: s2d-output row (i, dy) = conv row 2i+dy
+    reads original rows 4i+2dy-1..4i+2dy+1; with input block row i-1+bi
+    holding rows 4(i-1+bi)+ry, the kernel tap is t = 4*bi - 4 + ry - 2*dy,
+    kept only when t is in {-1, 0, 1} (zero otherwise). Exact identity.
+    """
+    kh, kw, ci, co = w.shape
+    if (kh, kw) != (3, 3):
+        raise ValueError(f"s4d fold expects a 3x3 kernel, got {(kh, kw)}")
+    w4 = jnp.zeros((2, 2, 16 * ci, 4 * co), w.dtype)  # trace-safe (static slices)
+    for bi in range(2):
+        for bj in range(2):
+            for ry in range(4):
+                for rx in range(4):
+                    for dy in range(2):
+                        for dx in range(2):
+                            ty = 4 * bi - 4 + ry - 2 * dy
+                            tx = 4 * bj - 4 + rx - 2 * dx
+                            if ty in (-1, 0, 1) and tx in (-1, 0, 1):
+                                cin = ((ry // 2) * 2 + rx // 2) * 4 + (ry % 2) * 2 + rx % 2
+                                q = (dy * 2 + dx) * co
+                                w4 = w4.at[bi, bj, cin * ci:(cin + 1) * ci,
+                                           q:q + co].set(w[ty + 1, tx + 1])
+    return w4
+
+
+def stem_s4d_apply(conv0: "Conv", conv1: "Conv", p0: Dict, p1: Dict,
+                   x_s4d: jnp.ndarray) -> jnp.ndarray:
+    """Run fused layers 0+1 (both k3 s2 p1 g1 Conv) on the 4x4 s2d layout.
+
+    x_s4d: (B, S/4, S/4, 48) from device_letterbox_s4d. Layer 0 runs in
+    s4d-in/s2d-out folded form (fold_stem_s4d), SiLU applies to the permuted
+    layout unchanged (elementwise), and layer 1 consumes the s2d intermediate
+    via fold_stem_s2d — every conv is k2s1 with a wide (48/64-channel)
+    contraction, and the (S, S, 3) / (S/2, S/2, 16) worst-tiling NHWC layouts
+    never exist. Output (B, S/4, S/4, c2) equals layer 1's output exactly
+    (within f32 accumulation order). Requires fused params.
+    """
+    w0 = fold_stem_s4d(p0["conv"]["w"])
+    b0 = jnp.tile(p0["conv"]["b"], 4)
+    y = jax.lax.conv_general_dilated(
+        x_s4d, w0.astype(x_s4d.dtype), window_strides=(1, 1),
+        padding=[(1, 0), (1, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = conv0._act(y + b0.astype(y.dtype))
+    w1 = fold_stem_s2d(p1["conv"]["w"])
+    z = jax.lax.conv_general_dilated(
+        y, w1.astype(y.dtype), window_strides=(1, 1),
+        padding=[(1, 0), (1, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return conv1._act(z + p1["conv"]["b"].astype(z.dtype))
+
+
 def stem_s2d_apply(conv: "Conv", params: Dict, x_s2d: jnp.ndarray) -> jnp.ndarray:
     """Run a fused layer-0 Conv (k3 s2 p1 g1) on the s2d letterbox layout.
 

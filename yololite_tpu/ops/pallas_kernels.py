@@ -172,6 +172,67 @@ def device_letterbox_s2d(images: jnp.ndarray, imgsz: int = 640,
     return (out / 255.0).astype(out_dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("imgsz", "out_dtype_name"))
+def device_letterbox_s4d(images: jnp.ndarray, imgsz: int = 640,
+                         out_dtype_name: str = "float32") -> jnp.ndarray:
+    """Device letterbox emitting the 4x4 space-to-depth layout (s2d of s2d).
+
+    images: (B, H0, W0, 3) uint8 RGB -> (B, imgsz/4, imgsz/4, 48) with channel
+    layout c_out = ((dy2*2+dx2)*4 + (dy1*2+dx1))*3 + c holding letterboxed
+    pixel (4i + 2*dy2 + dy1, 4j + 2*dx2 + dx1) — i.e. exactly the 2x2 s2d of
+    device_letterbox_s2d's output, the input layout of modules.fold_stem_s4d.
+    Same construction as the s2d variant: interpolation matrices sliced r::4,
+    pad + 114 fill folded in; identity case is one relayout reshape.
+    """
+    out_dtype = jnp.dtype(out_dtype_name)
+    b, h0, w0, c = images.shape
+    if imgsz % 4:
+        raise ValueError(f"s4d letterbox needs imgsz % 4 == 0, got {imgsz}")
+    r = min(imgsz / h0, imgsz / w0)
+    new_w, new_h = int(round(w0 * r)), int(round(h0 * r))
+    dw, dh = (imgsz - new_w) / 2, (imgsz - new_h) / 2
+    top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+    q = imgsz // 4
+
+    # channel order: blocks iterate (dy2, dx2) major then (dy1, dx1); the row
+    # offset within the 4x4 tile is ry = 2*dy2 + dy1, so the r::4 slice for
+    # block position (dy2, dy1) starts at row 2*dy2 + dy1
+    if (h0, w0) == (imgsz, imgsz):  # identity: relayout copy
+        x = images.astype(jnp.float32)
+        x = x.reshape(b, q, 2, 2, q, 2, 2, c)  # (b, i, dy2, dy1, j, dx2, dx1, c)
+        x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, q, q, 16 * c)
+        return (x / 255.0).astype(out_dtype)
+
+    py = np.zeros((imgsz, h0), np.float32)
+    py[top:top + new_h] = _interp_matrix(new_h, h0)
+    px = np.zeros((imgsz, w0), np.float32)
+    px[left:left + new_w] = _interp_matrix(new_w, w0)
+    my = np.zeros(imgsz, np.float32)
+    my[top:top + new_h] = 1.0
+    mx = np.zeros(imgsz, np.float32)
+    mx[left:left + new_w] = 1.0
+
+    x = images.astype(jnp.float32)
+    t = {}
+    for dy2 in (0, 1):
+        for dy1 in (0, 1):
+            ry = 2 * dy2 + dy1
+            t[ry] = jnp.einsum("yh,bhwc->bywc", jnp.asarray(py[ry::4]), x,
+                               preferred_element_type=jnp.float32)
+    blocks = []
+    for dy2 in (0, 1):
+        for dx2 in (0, 1):
+            for dy1 in (0, 1):
+                for dx1 in (0, 1):
+                    ry, rx = 2 * dy2 + dy1, 2 * dx2 + dx1
+                    blk = jnp.einsum("xw,bywc->byxc", jnp.asarray(px[rx::4]), t[ry],
+                                     preferred_element_type=jnp.float32)
+                    fill = 114.0 * (1.0 - np.outer(my[ry::4], mx[rx::4]))
+                    blocks.append(blk + jnp.asarray(fill)[None, :, :, None])
+    out = jnp.concatenate(blocks, axis=-1)
+    return (out / 255.0).astype(out_dtype)
+
+
 # ---------------- fused decode + candidate-select kernel ----------------
 
 
