@@ -359,3 +359,74 @@ def test_save_native_atomic(tmp_path):
     params, state, meta = load_native(p)
     np.testing.assert_array_equal(params["a"], np.arange(4.0))
     assert meta["epoch"] == 3
+
+
+def test_fused_step_matches_two_phase(tmp_path):
+    """The accumulate==1 fused step (grad+clip+update+EMA in one jit) matches
+    grad_step(grad_sum=0) + apply_step to float32 last-ulp (the two graphs
+    compile with different fusion/FMA contraction order, so bit-exactness
+    across the jit boundary is not guaranteed -- the math is the same)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yololite_tpu.engine.trainer import DetectionTrainer
+
+    t = DetectionTrainer(overrides={
+        "model": "yolo11n.yaml", "data": str(REFERENCE / "coco8" / "coco8.yaml"),
+        "epochs": 1, "imgsz": 128, "batch": 4, "nbs": 4, "workers": 0, "mode": "train",
+        "project": str(tmp_path / "runs"), "name": "fused", "val": False, "plots": False,
+        "optimizer": "SGD", "amp": False,
+    })
+    t._setup_train()
+    assert t._fused_step is not None  # nbs == batch -> accumulate stays 1
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((4, 128, 128, 3), np.float32))
+    M = 16
+    gl = jnp.asarray(rng.integers(0, 80, (4, M, 1)), jnp.int32)
+    gb = jnp.asarray(np.sort(rng.uniform(5, 120, (4, M, 2, 2)), axis=2).reshape(4, M, 4), jnp.float32)
+    mg = jnp.ones((4, M, 1), jnp.float32)
+    lr = jnp.asarray(np.array([0.01, 0.01, 0.01], np.float32))
+    mom = jnp.float32(0.9)
+    upd = jnp.asarray(3)
+
+    copy_tree = lambda tr: jax.tree.map(lambda x: jnp.array(x, copy=True), tr)
+    ema_p, ema_s = copy_tree(t.params), copy_tree(t.state)
+
+    # two-phase reference result (copies: apply_step donates its buffers)
+    zero = jax.tree.map(jnp.zeros_like, t.params)
+    gs, st2, total2, items2 = t._grad_step(t.params, t.state, zero, images, gl, gb, mg)
+    p2, _, _, ep2, es2, _ = t._apply_step(
+        copy_tree(t.params), copy_tree(t.opt_state), gs, copy_tree(ema_p), copy_tree(ema_s),
+        st2, lr, mom, upd)
+
+    # fused result
+    p1, _, ep1, es1, st1, total1, items1, _ = t._fused_step(
+        copy_tree(t.params), copy_tree(t.opt_state), copy_tree(ema_p), copy_tree(ema_s),
+        copy_tree(t.state), images, gl, gb, mg, lr, mom, upd)
+
+    np.testing.assert_allclose(float(total1), float(total2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(items1), np.asarray(items2), rtol=1e-5)
+    for a, b, name in ((p1, p2, "params"), (ep1, ep2, "ema_params"), (es1, es2, "ema_state"), (st1, st2, "state")):
+        la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=3e-5, atol=1e-6, err_msg=name)
+
+
+def test_train_fused_path_end_to_end(tmp_path):
+    """Full train through the fused accumulate==1 branch (batch == nbs)."""
+    from yololite_tpu import YOLOLite
+
+    m = YOLOLite("yolo11n.yaml")
+    m.train(
+        data=str(REFERENCE / "coco8" / "coco8.yaml"),
+        epochs=2, imgsz=128, batch=4, nbs=4, workers=2,
+        project=str(tmp_path / "runs"), name="fused_e2e", close_mosaic=0,
+        warmup_epochs=0.5, val=False, plots=False, save=True, optimizer="SGD", lr0=0.01,
+    )
+    run_dir = tmp_path / "runs" / "fused_e2e"
+    rows = (run_dir / "results.csv").read_text().strip().splitlines()
+    assert len(rows) == 3
+    losses = np.array([[float(v) for v in r.split(",")[1:4]] for r in rows[1:]])
+    assert np.isfinite(losses).all()

@@ -331,8 +331,41 @@ class DetectionTrainer:
             zero = jax.tree.map(jnp.zeros_like, grads)
             return params, opt_state, zero, ema_params, ema_state, gnorm
 
+        # Steady-state accumulate==1 (batch >= nbs): one fused dispatch per
+        # iteration -- grads feed clip+update+EMA inside a single XLA program, so
+        # the params-sized grad_sum never round-trips HBM, the zeroing pass
+        # disappears, and the optimizer update overlaps the tail of the backward.
+        # Same math as grad_step(grad_sum=0) + apply_step (grad_sum=0+g == g);
+        # results agree to float32 last-ulp (fusion/FMA order differs across the
+        # two compilations). Only built when the whole run keeps accumulate==1,
+        # so each (shape, bucket) key compiles one variant.
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+        def fused_step(params, opt_state, ema_params, ema_state, state,
+                       images, gt_labels, gt_bboxes, mask_gt, lr_vec, momentum, ema_updates):
+            def lossf(p):
+                ctx = M.Ctx(train=True)
+                x = images.astype(jnp.bfloat16) if half else images
+                feats = model.apply(p, state, x, train=True, ctx=ctx)
+                total, items = loss_fn(feats, {"gt_labels": gt_labels, "gt_bboxes": gt_bboxes, "mask_gt": mask_gt})
+                return total, (items, ctx.updates)
+
+            (total, (items, bn_updates)), grads = jax.value_and_grad(lossf, has_aux=True)(params)
+            if freeze_mask is not None:
+                grads = jax.tree.map(lambda g, m: g * m, grads, freeze_mask)
+            new_state = _merge_bn(state, bn_updates)
+            grads, gnorm = optim.clip_by_global_norm(grads, 10.0)
+            params, opt_state = update_fn(params, grads, opt_state, self.labels_tree, lr_vec, momentum,
+                                          weight_decay, trainable=freeze_mask)
+            ema_params = ema_update(ema_params, params, ema_updates)
+            ema_state = ema_update(ema_state, new_state, ema_updates)
+            return params, opt_state, ema_params, ema_state, new_state, total, items, gnorm
+
         self._grad_step = grad_step
         self._apply_step = apply_step
+        # use only when accumulate==1 for the entire run (incl. warmup, which
+        # interpolates between 1 and nbs/batch -- constant 1 when batch >= nbs)
+        steady = max(round(self.args.nbs / self.batch_size), 1)
+        self._fused_step = fused_step if steady == 1 else None
 
     # ---- main loop ----
 
@@ -426,22 +459,34 @@ class DetectionTrainer:
                 targets = shard_batch(self.mesh, targets)
                 self._track_compiles(batch["img"].shape, m_bucket)
 
-                grad_sum, self.state, total, items = self._grad_step(
-                    self.params, self.state, grad_sum, images,
-                    targets["gt_labels"], targets["gt_bboxes"], targets["mask_gt"],
-                )
-                # running mean stays a device array: fetching `items` here would
-                # sync the host to every step and stall dispatch pipelining (the
-                # host must stay ahead, preparing the next batch)
-                tloss = items if tloss is None else (tloss * i + items) / (i + 1)
-
-                if ni - last_opt_step >= self.accumulate:
+                if self._fused_step is not None:
+                    # accumulate==1 for the whole run: single dispatch per step
                     ema_updates += 1
-                    self.params, opt_state, grad_sum, ema_params, ema_state, gnorm = self._apply_step(
-                        self.params, opt_state, grad_sum, ema_params, ema_state, self.state,
+                    (self.params, opt_state, ema_params, ema_state, self.state,
+                     total, items, gnorm) = self._fused_step(
+                        self.params, opt_state, ema_params, ema_state, self.state, images,
+                        targets["gt_labels"], targets["gt_bboxes"], targets["mask_gt"],
                         jnp.asarray(lr_vec), jnp.asarray(momentum, jnp.float32), jnp.asarray(ema_updates),
                     )
                     last_opt_step = ni
+                    tloss = items if tloss is None else (tloss * i + items) / (i + 1)
+                else:
+                    grad_sum, self.state, total, items = self._grad_step(
+                        self.params, self.state, grad_sum, images,
+                        targets["gt_labels"], targets["gt_bboxes"], targets["mask_gt"],
+                    )
+                    # running mean stays a device array: fetching `items` here would
+                    # sync the host to every step and stall dispatch pipelining (the
+                    # host must stay ahead, preparing the next batch)
+                    tloss = items if tloss is None else (tloss * i + items) / (i + 1)
+
+                    if ni - last_opt_step >= self.accumulate:
+                        ema_updates += 1
+                        self.params, opt_state, grad_sum, ema_params, ema_state, gnorm = self._apply_step(
+                            self.params, opt_state, grad_sum, ema_params, ema_state, self.state,
+                            jnp.asarray(lr_vec), jnp.asarray(momentum, jnp.float32), jnp.asarray(ema_updates),
+                        )
+                        last_opt_step = ni
 
                 if i % max(nb // 4, 1) == 0:
                     t = np.asarray(tloss)  # the only in-epoch device fetch
