@@ -235,3 +235,52 @@ def test_model_s4d_stem_feats_match(tmp_path):
     assert 0 not in model.save and 1 not in model.save
     for a, b in zip(feats, feats_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_fused_stem_pallas_matches_s4d_apply():
+    """fused_stem_s4d_pallas (interpret mode) == stem_s4d_apply (XLA convs),
+    including the conv1-pads-conv0-output border semantics and band seams."""
+    import yololite_tpu.models.modules as M
+    from yololite_tpu.models.modules import Conv, KeyGen, stem_s4d_apply, stem_s4d_apply_pallas
+
+    kg = KeyGen(21)
+    conv0, conv1 = Conv(3, 16, k=3, s=2), Conv(16, 32, k=3, s=2)
+    rng = np.random.default_rng(22)
+
+    def fused(conv):
+        p, s = conv.init(kg)
+        p["bn"]["scale"] = jnp.asarray(rng.uniform(0.5, 2, conv.c2).astype(np.float32))
+        p["bn"]["bias"] = jnp.asarray(rng.uniform(-1, 1, conv.c2).astype(np.float32))
+        s["bn"]["mean"] = jnp.asarray(rng.uniform(-1, 1, conv.c2).astype(np.float32))
+        s["bn"]["var"] = jnp.asarray(rng.uniform(0.5, 2, conv.c2).astype(np.float32))
+        return Conv.fuse(p, s)
+
+    p0, p1 = fused(conv0), fused(conv1)
+    # H4=16 with th=8 -> 2 bands (exercises the seam and band-0 halo zeroing)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    xs4 = np.asarray(x).reshape(2, 16, 2, 2, 16, 2, 2, 3).transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(2, 16, 16, 48)
+    xs4 = jnp.asarray(xs4)
+
+    ref = stem_s4d_apply(conv0, conv1, p0, p1, xs4)
+    out = stem_s4d_apply_pallas(conv0, conv1, p0, p1, xs4, th=8, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_fused_stem_pallas_single_band():
+    """One-band case (th == H4): the i==0 halo row zeroing plus no seams."""
+    from yololite_tpu.models.modules import Conv, KeyGen, stem_s4d_apply, stem_s4d_apply_pallas
+
+    kg = KeyGen(31)
+    conv0, conv1 = Conv(3, 16, k=3, s=2), Conv(16, 32, k=3, s=2)
+    p0, s0 = conv0.init(kg)
+    p1, s1 = conv1.init(kg)
+    p0, p1 = Conv.fuse(p0, s0), Conv.fuse(p1, s1)
+    rng = np.random.default_rng(32)
+    x = np.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    xs4 = x.reshape(1, 8, 2, 2, 8, 2, 2, 3).transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(1, 8, 8, 48)
+    xs4 = jnp.asarray(xs4)
+
+    ref = stem_s4d_apply(conv0, conv1, p0, p1, xs4)
+    out = stem_s4d_apply_pallas(conv0, conv1, p0, p1, xs4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)

@@ -390,3 +390,29 @@ def test_predict_s4d_stem_flag_matches_default(fake_pt):
     a, b = ref.boxes.data, out.boxes.data
     assert a.shape == b.shape and len(a) > 0
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-3)
+
+
+def test_predict_fused_stem_kernel_flag_matches_default(fake_pt):
+    """USE_S4D_STEM + USE_FUSED_STEM_KERNEL end-to-end through the public API
+    (Pallas fused stem, interpret mode on CPU): same detections as default."""
+    import yololite_tpu.engine.predictor as pred_mod
+    from yololite_tpu import YOLOLite
+
+    pt, _ = fake_pt
+    img = np.asarray(
+        np.random.default_rng(5).integers(0, 255, (210, 330, 3)), np.uint8
+    )
+    m = YOLOLite(pt)
+    ref = m.predict([img], conf=1e-4, verbose=False, save=False, imgsz=192)[0]
+    assert pred_mod.USE_FUSED_STEM_KERNEL is False
+    try:
+        pred_mod.USE_S4D_STEM = True
+        pred_mod.USE_FUSED_STEM_KERNEL = True
+        m2 = YOLOLite(pt)
+        out = m2.predict([img], conf=1e-4, verbose=False, save=False, imgsz=192)[0]
+    finally:
+        pred_mod.USE_S4D_STEM = False
+        pred_mod.USE_FUSED_STEM_KERNEL = False
+    a, b = ref.boxes.data, out.boxes.data
+    assert a.shape == b.shape and len(a) > 0
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-3)

@@ -49,6 +49,12 @@ USE_S2D_STEM = False
 # (modules.fold_stem_s4d). Takes precedence over USE_S2D_STEM when both set.
 USE_S4D_STEM = False
 
+# With USE_S4D_STEM: run both folded stem convs as ONE Pallas kernel with the
+# conv0 output held in VMEM (modules.stem_s4d_apply_pallas) instead of two XLA
+# convs — the only formulation that removes the L0 output's HBM write+read
+# (docs/PERF.md round-4 note). Off until measured faster on-chip.
+USE_FUSED_STEM_KERNEL = False
+
 
 class DetectionPredictor:
     """Holds the jitted inference graph and the streaming loop state."""
@@ -176,13 +182,15 @@ class DetectionPredictor:
             """s2d/s4d variant of the forward (flag-gated): relayout the
             letterboxed input to the space-to-depth grid and run the folded
             k2s1 stem conv(s)."""
-            from yololite_tpu.models.modules import stem_s2d_apply, stem_s4d_apply
+            from yololite_tpu.models.modules import (
+                stem_s2d_apply, stem_s4d_apply, stem_s4d_apply_pallas)
 
             b, hh, ww, cc = x.shape
             if use_s4d:
                 xs = x.reshape(b, hh // 4, 2, 2, ww // 4, 2, 2, cc)
                 xs = xs.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, hh // 4, ww // 4, 16 * cc)
-                y1 = stem_s4d_apply(row0, model.rows[1].mod, params["0"], params["1"], xs)
+                s4d_fn = stem_s4d_apply_pallas if USE_FUSED_STEM_KERNEL else stem_s4d_apply
+                y1 = s4d_fn(row0, model.rows[1].mod, params["0"], params["1"], xs)
                 return model.apply(params, state, y1, train=False, start=2)
             xs = x.reshape(b, hh // 2, 2, ww // 2, 2, cc)
             xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh // 2, ww // 2, 4 * cc)
@@ -230,7 +238,8 @@ class DetectionPredictor:
 
             if (use_s2d or use_s4d) and imgsz % _sdiv == 0:
                 # letterbox straight into the s2d/s4d layout; folded k2s1 stem
-                from yololite_tpu.models.modules import stem_s2d_apply, stem_s4d_apply
+                from yololite_tpu.models.modules import (
+                    stem_s2d_apply, stem_s4d_apply, stem_s4d_apply_pallas)
                 from yololite_tpu.ops.nms import nms_from_feats
                 from yololite_tpu.ops.pallas_kernels import (
                     device_letterbox_s2d, device_letterbox_s4d)
@@ -238,7 +247,8 @@ class DetectionPredictor:
                 dt = "bfloat16" if half else "float32"
                 if use_s4d:
                     xs = device_letterbox_s4d(raw_uint8, imgsz=imgsz, out_dtype_name=dt)
-                    y = stem_s4d_apply(row0, model.rows[1].mod, params["0"], params["1"], xs)
+                    s4d_fn = stem_s4d_apply_pallas if USE_FUSED_STEM_KERNEL else stem_s4d_apply
+                    y = s4d_fn(row0, model.rows[1].mod, params["0"], params["1"], xs)
                     feats = model.apply(params, state, y, train=False, start=2)
                 else:
                     xs = device_letterbox_s2d(raw_uint8, imgsz=imgsz, out_dtype_name=dt)

@@ -325,6 +325,22 @@ def stem_s4d_apply(conv0: "Conv", conv1: "Conv", p0: Dict, p1: Dict,
     return conv1._act(z + p1["conv"]["b"].astype(z.dtype))
 
 
+def stem_s4d_apply_pallas(conv0: "Conv", conv1: "Conv", p0: Dict, p1: Dict,
+                          x_s4d: jnp.ndarray, th: int = 40, interpret=None) -> jnp.ndarray:
+    """stem_s4d_apply with both convs fused into one Pallas kernel (the conv0
+    output never leaves VMEM — the only way to cut the stem's HBM traffic,
+    docs/PERF.md round-4 note). SiLU is baked into the kernel, so both stem
+    Convs must use the default act (true for every shipped yaml)."""
+    if conv0.act is not True or conv1.act is not True:
+        raise ValueError("fused stem kernel assumes SiLU activations")
+    from yololite_tpu.ops.pallas_kernels import fused_stem_s4d_pallas
+
+    w0 = fold_stem_s4d(p0["conv"]["w"])
+    b0 = jnp.tile(p0["conv"]["b"], 4)
+    w1 = fold_stem_s2d(p1["conv"]["w"])
+    return fused_stem_s4d_pallas(x_s4d, w0, b0, w1, p1["conv"]["b"], th=th, interpret=interpret)
+
+
 def stem_s2d_apply(conv: "Conv", params: Dict, x_s2d: jnp.ndarray) -> jnp.ndarray:
     """Run a fused layer-0 Conv (k3 s2 p1 g1) on the s2d letterbox layout.
 
