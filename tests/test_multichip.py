@@ -229,3 +229,28 @@ def test_trainer_mesh_loss_curve_matches_single_device(tmp_path, monkeypatch):
     mesh_curve = run("mesh8", single_device=False)
     single_curve = run("single", single_device=True)
     np.testing.assert_allclose(mesh_curve, single_curve, rtol=2e-2, atol=2e-2)
+
+
+def test_trainer_fused_step_on_virtual_mesh(tmp_path):
+    """The fused accumulate==1 step (batch == nbs) with the batch sharded over
+    the 8-device mesh: donated sharded buffers + psum'd grads + in-jit EMA all
+    inside one dispatch."""
+    from yololite_tpu.engine.trainer import DetectionTrainer
+
+    yaml_path = _make_8img_dataset(tmp_path)
+
+    t = DetectionTrainer(overrides={
+        "model": "yolo11n.yaml", "data": str(yaml_path),
+        "epochs": 1, "imgsz": 64, "batch": 8, "nbs": 8, "workers": 0, "mode": "train",
+        "project": str(tmp_path), "name": "meshfused", "val": False, "plots": False,
+        "close_mosaic": 0, "optimizer": "SGD", "save": True,
+    })
+    t.train()
+    assert t.mesh is not None and t._fused_step is not None
+    import numpy as np
+
+    from yololite_tpu.models.checkpoint import load_native
+
+    params, _, meta = load_native(tmp_path / "meshfused" / "weights" / "last.npz")
+    assert meta["epoch"] == 0
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(params))
