@@ -21,8 +21,7 @@ def test_dataset_coco8_val():
     assert len(ds) == 4
     item = ds[0]
     assert item["img"].shape == (160, 160, 3)
-    assert item["img"].dtype == np.float32
-    assert 0.0 <= item["img"].min() and item["img"].max() <= 1.0
+    assert item["img"].dtype == np.uint8  # /255 normalization runs on device
     assert item["bboxes"].shape[1] == 4
     assert (item["bboxes"] <= 1.0).all() and (item["bboxes"] >= 0.0).all()  # normalized xywh
     assert item["cls"].shape[0] == item["bboxes"].shape[0]

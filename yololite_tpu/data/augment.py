@@ -405,10 +405,15 @@ class LetterBox:
 
 
 class Format:
-    """Final packaging: HWC BGR uint8 -> RGB float32 [0,1], normalized xywh boxes.
+    """Final packaging: HWC BGR uint8 -> RGB uint8, normalized xywh boxes.
 
     TPU variant of reference augment.py:904-956: images stay NHWC (no CHW
-    transpose) since the model consumes channel-last.
+    transpose) since the model consumes channel-last, and stay uint8 — the
+    /255 float normalization runs ON DEVICE fused into the train/val step's
+    first cast (reference does img.float()/255 on device too, trainer.py:424),
+    so host->device transfers move 1 byte/px instead of 4. Bit-identical:
+    the augmentation pipeline is uint8 end-to-end, and f32(v)/255 rounds the
+    same whether the division runs on host or device.
     """
 
     def __init__(self, bbox_format="xywh", normalize=True, batch_idx=True, bgr=0.0):
@@ -428,7 +433,7 @@ class Format:
 
         keep_bgr = self.bgr and random.random() < self.bgr
         im = img if keep_bgr else img[..., ::-1]  # BGR -> RGB
-        labels["img"] = np.ascontiguousarray(im, dtype=np.float32) / 255.0
+        labels["img"] = np.ascontiguousarray(im)
         labels["cls"] = np.asarray(cls, np.float32).reshape(nl, -1)[:, :1] if nl else np.zeros((0, 1), np.float32)
         bboxes = instances.bboxes.astype(np.float32) if nl else np.zeros((0, 4), np.float32)
         if self.normalize and nl:

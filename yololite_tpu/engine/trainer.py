@@ -291,11 +291,18 @@ class DetectionTrainer:
         update_fn = optim.UPDATES[self.opt_name]
         weight_decay = self.weight_decay
 
+        def _norm(images):
+            """uint8 batches normalize on device (1 byte/px H2D, like reference
+            trainer.py:424 img.float()/255); float batches pass through."""
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
+            return images.astype(jnp.bfloat16) if half else images
+
         @jax.jit
         def grad_step(params, state, grad_sum, images, gt_labels, gt_bboxes, mask_gt):
             def lossf(p):
                 ctx = M.Ctx(train=True)
-                x = images.astype(jnp.bfloat16) if half else images
+                x = _norm(images)
                 feats = model.apply(p, state, x, train=True, ctx=ctx)
                 # feats stay bf16 on the amp path; the loss upcasts to fp32 at its
                 # softmax/BCE/accumulation boundaries (fused, no fp32 materialization)
@@ -344,7 +351,7 @@ class DetectionTrainer:
                        images, gt_labels, gt_bboxes, mask_gt, lr_vec, momentum, ema_updates):
             def lossf(p):
                 ctx = M.Ctx(train=True)
-                x = images.astype(jnp.bfloat16) if half else images
+                x = _norm(images)
                 feats = model.apply(p, state, x, train=True, ctx=ctx)
                 total, items = loss_fn(feats, {"gt_labels": gt_labels, "gt_bboxes": gt_bboxes, "mask_gt": mask_gt})
                 return total, (items, ctx.updates)

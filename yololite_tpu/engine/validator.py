@@ -56,7 +56,10 @@ class DetectionValidator:
 
         @jax.jit
         def _infer(params, state, images):
-            x = images.astype(jnp.bfloat16) if half else images
+            x = images
+            if x.dtype == jnp.uint8:  # Format keeps batches uint8; /255 on device
+                x = x.astype(jnp.float32) / 255.0
+            x = x.astype(jnp.bfloat16) if half else x
             feats = model.apply(params, state, x, train=False)
             feats = [f.astype(jnp.float32) for f in feats]
             boxes, scores = decode_detections(feats, strides, nc, reg_max, xywh=False)
