@@ -51,10 +51,30 @@ def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False, mode: 
         params_h = jax.device_put(cast(params))
         state_h = jax.device_put(cast(state))
 
+    # honor the shipped stem configuration (engine/predictor.py flags): the
+    # bench must measure the same graph the predictor ships, so a measured
+    # default-flip of the s4d / fused-stem-kernel levers shows up here
+    from yololite_tpu.engine import predictor as pred_mod
+
+    use_s4d = bool(getattr(pred_mod, "USE_S4D_STEM", False)) and not int8
+    use_fused_stem = use_s4d and bool(getattr(pred_mod, "USE_FUSED_STEM_KERNEL", False))
+
+    def forward(params, state, x):
+        if use_s4d:
+            from yololite_tpu.models.modules import stem_s4d_apply, stem_s4d_apply_pallas
+
+            b, hh, ww, cc = x.shape
+            xs = x.reshape(b, hh // 4, 2, 2, ww // 4, 2, 2, cc)
+            xs = xs.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, hh // 4, ww // 4, 16 * cc)
+            fn = stem_s4d_apply_pallas if use_fused_stem else stem_s4d_apply
+            y = fn(model.rows[0].mod, model.rows[1].mod, params["0"], params["1"], xs)
+            return model.apply(params, state, y, train=False, start=2)
+        return model.apply(params, state, x, train=False)
+
     @jax.jit
     def loop(params, state, images, salt):
         def body(c, _):
-            feats = model.apply(params, state, images + c.astype(images.dtype), train=False)
+            feats = forward(params, state, images + c.astype(images.dtype))
             # the shipped predict graph (engine/predictor.py): select-first fused
             # NMS -- per-level top-k, segment-matmul DFL, narrow gathers,
             # fixpoint greedy suppression (docs/PERF.md round 3)

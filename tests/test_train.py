@@ -393,9 +393,9 @@ def test_fused_step_matches_two_phase(tmp_path):
     copy_tree = lambda tr: jax.tree.map(lambda x: jnp.array(x, copy=True), tr)
     ema_p, ema_s = copy_tree(t.params), copy_tree(t.state)
 
-    # two-phase reference result (copies: apply_step donates its buffers)
+    # two-phase reference result (copies: grad_step/apply_step donate buffers)
     zero = jax.tree.map(jnp.zeros_like, t.params)
-    gs, st2, total2, items2 = t._grad_step(t.params, t.state, zero, images, gl, gb, mg)
+    gs, st2, total2, items2 = t._grad_step(t.params, copy_tree(t.state), zero, images, gl, gb, mg)
     p2, _, _, ep2, es2, _ = t._apply_step(
         copy_tree(t.params), copy_tree(t.opt_state), gs, copy_tree(ema_p), copy_tree(ema_s),
         st2, lr, mom, upd)

@@ -298,7 +298,9 @@ class DetectionTrainer:
                 images = images.astype(jnp.float32) / 255.0
             return images.astype(jnp.bfloat16) if half else images
 
-        @jax.jit
+        # state/grad_sum are carried: donating them aliases the output buffers
+        # in place of a fresh params-sized allocation per micro-step
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
         def grad_step(params, state, grad_sum, images, gt_labels, gt_bboxes, mask_gt):
             def lossf(p):
                 ctx = M.Ctx(train=True)
