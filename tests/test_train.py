@@ -430,3 +430,22 @@ def test_train_fused_path_end_to_end(tmp_path):
     assert len(rows) == 3
     losses = np.array([[float(v) for v in r.split(",")[1:4]] for r in rows[1:]])
     assert np.isfinite(losses).all()
+
+
+def test_train_multi_scale_fused(tmp_path):
+    """multi_scale random resize through the fused accumulate==1 step: each
+    snapped size compiles its own variant, tracked by _track_compiles."""
+    from yololite_tpu.engine.trainer import DetectionTrainer
+
+    t = DetectionTrainer(overrides={
+        "model": "yolo11n.yaml", "data": str(REFERENCE / "coco8" / "coco8.yaml"),
+        "epochs": 2, "imgsz": 96, "batch": 4, "nbs": 4, "workers": 0, "mode": "train",
+        "project": str(tmp_path / "runs"), "name": "ms", "val": False, "plots": False,
+        "close_mosaic": 0, "optimizer": "SGD", "multi_scale": True, "seed": 3,
+    })
+    t.train()
+    assert t._fused_step is not None
+    assert len(t._step_shapes) >= 1  # compile-count hygiene tracked
+    import jax
+
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(t.params))
