@@ -41,21 +41,16 @@ class BaseMixTransform:
     """Base for transforms that mix several dataset images (mosaic/mixup)."""
 
     def __init__(self, dataset, pre_transform=None, p=0.0):
-        self.dataset = dataset
-        self.pre_transform = pre_transform
-        self.p = p
+        self.dataset, self.pre_transform, self.p = dataset, pre_transform, p
 
     def __call__(self, labels):
         if random.uniform(0, 1) > self.p:
             return labels
-        indexes = self.get_indexes()
-        if isinstance(indexes, int):
-            indexes = [indexes]
-        mix_labels = [self.dataset.get_image_and_label(i) for i in indexes]
+        idx = self.get_indexes()
+        extra = [self.dataset.get_image_and_label(i) for i in ([idx] if isinstance(idx, int) else idx)]
         if self.pre_transform is not None:
-            for i, data in enumerate(mix_labels):
-                mix_labels[i] = self.pre_transform(data)
-        labels["mix_labels"] = mix_labels
+            extra = [self.pre_transform(d) for d in extra]
+        labels["mix_labels"] = extra  # key name is part of the transform contract
         labels = self._mix_transform(labels)
         labels.pop("mix_labels", None)
         return labels
@@ -95,20 +90,23 @@ class Mosaic(BaseMixTransform):
             h, w = patch.pop("resized_shape")
             if img4 is None:
                 img4 = np.full((s * 2, s * 2, img.shape[2]), 114, dtype=np.uint8)
+            # canvas window (c*) anchored at the shared center (xc, yc); source
+            # window (s*) is whatever of the tile fits (identical arithmetic to
+            # reference augment.py:243-258, canvas/source names for a/b)
             if i == 0:  # top-left
-                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
-                x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+                cx1, cy1, cx2, cy2 = max(xc - w, 0), max(yc - h, 0), xc, yc
+                sx1, sy1, sx2, sy2 = w - (cx2 - cx1), h - (cy2 - cy1), w, h
             elif i == 1:  # top-right
-                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
-                x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+                cx1, cy1, cx2, cy2 = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+                sx1, sy1, sx2, sy2 = 0, h - (cy2 - cy1), min(w, cx2 - cx1), h
             elif i == 2:  # bottom-left
-                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
-                x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+                cx1, cy1, cx2, cy2 = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+                sx1, sy1, sx2, sy2 = w - (cx2 - cx1), 0, w, min(cy2 - cy1, h)
             else:  # bottom-right
-                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
-                x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
-            img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
-            padw, padh = x1a - x1b, y1a - y1b
+                cx1, cy1, cx2, cy2 = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+                sx1, sy1, sx2, sy2 = 0, 0, min(w, cx2 - cx1), min(cy2 - cy1, h)
+            img4[cy1:cy2, cx1:cx2] = img[sy1:sy2, sx1:sx2]
+            padw, padh = cx1 - sx1, cy1 - sy1
             mosaic_labels.append(self._update_labels(patch, padw, padh))
         final = self._cat_labels(mosaic_labels)
         final["img"] = img4
@@ -123,28 +121,30 @@ class Mosaic(BaseMixTransform):
             patch = labels if i == 0 else labels["mix_labels"][i - 1]
             img = patch["img"]
             h, w = patch.pop("resized_shape")
+            # spiral placement box on the 3s canvas (identical arithmetic to
+            # reference augment.py:304-324; h0/w0 = first tile, hp/wp = previous)
             if i == 0:
                 img9 = np.full((s * 3, s * 3, img.shape[2]), 114, dtype=np.uint8)
                 h0, w0 = h, w
-                c = s, s, s + w, s + h
+                box = s, s, s + w, s + h
             elif i == 1:
-                c = s, s - h, s + w, s
+                box = s, s - h, s + w, s
             elif i == 2:
-                c = s + wp, s - h, s + wp + w, s
+                box = s + wp, s - h, s + wp + w, s
             elif i == 3:
-                c = s + w0, s, s + w0 + w, s + h
+                box = s + w0, s, s + w0 + w, s + h
             elif i == 4:
-                c = s + w0, s + hp, s + w0 + w, s + hp + h
+                box = s + w0, s + hp, s + w0 + w, s + hp + h
             elif i == 5:
-                c = s + w0 - w, s + h0, s + w0, s + h0 + h
+                box = s + w0 - w, s + h0, s + w0, s + h0 + h
             elif i == 6:
-                c = s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h
+                box = s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h
             elif i == 7:
-                c = s - w, s + h0 - h, s, s + h0
+                box = s - w, s + h0 - h, s, s + h0
             else:
-                c = s - w, s + h0 - hp - h, s, s + h0 - hp
-            padw, padh = c[:2]
-            x1, y1, x2, y2 = (max(x, 0) for x in c)
+                box = s - w, s + h0 - hp - h, s, s + h0 - hp
+            padw, padh = box[:2]
+            x1, y1, x2, y2 = (max(v, 0) for v in box)
             img9[y1:y2, x1:x2] = img[y1 - padh :, x1 - padw :]
             hp, wp = h, w
             mosaic_labels.append(self._update_labels(patch, padw, padh))
@@ -238,37 +238,32 @@ class RandomPerspective:
 
     def __init__(self, degrees=0.0, translate=0.1, scale=0.5, shear=0.0, perspective=0.0,
                  border=(0, 0), pre_transform=None):
-        self.degrees = degrees
-        self.translate = translate
-        self.scale = scale
-        self.shear = shear
-        self.perspective = perspective
-        self.border = border
-        self.pre_transform = pre_transform
+        self.degrees, self.translate, self.scale = degrees, translate, scale
+        self.shear, self.perspective = shear, perspective
+        self.border, self.pre_transform = border, pre_transform
 
     def affine_transform(self, img, border):
-        C = np.eye(3, dtype=np.float32)
-        C[0, 2] = -img.shape[1] / 2
-        C[1, 2] = -img.shape[0] / 2
-        P = np.eye(3, dtype=np.float32)
-        P[2, 0] = random.uniform(-self.perspective, self.perspective)
-        P[2, 1] = random.uniform(-self.perspective, self.perspective)
-        R = np.eye(3, dtype=np.float32)
-        a = random.uniform(-self.degrees, self.degrees)
-        s = random.uniform(1 - self.scale, 1 + self.scale)
+        """Compose M = T@S@R@P@C. The draw ORDER (perspective, angle, scale,
+        shear x2, translate x2) is part of the seeded-stream contract."""
+        u = random.uniform
+        eye3 = lambda: np.eye(3, dtype=np.float32)
+
+        C = eye3()  # center to origin
+        C[:2, 2] = -img.shape[1] / 2, -img.shape[0] / 2
+        P = eye3()  # perspective
+        P[2, :2] = u(-self.perspective, self.perspective), u(-self.perspective, self.perspective)
+        R = eye3()  # rotation+scale
+        a, s = u(-self.degrees, self.degrees), u(1 - self.scale, 1 + self.scale)
         R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
-        S = np.eye(3, dtype=np.float32)
-        S[0, 1] = math.tan(random.uniform(-self.shear, self.shear) * math.pi / 180)
-        S[1, 0] = math.tan(random.uniform(-self.shear, self.shear) * math.pi / 180)
-        T = np.eye(3, dtype=np.float32)
-        T[0, 2] = random.uniform(0.5 - self.translate, 0.5 + self.translate) * self.size[0]
-        T[1, 2] = random.uniform(0.5 - self.translate, 0.5 + self.translate) * self.size[1]
+        S = eye3()  # shear (degrees -> tangent)
+        S[0, 1], S[1, 0] = (math.tan(u(-self.shear, self.shear) * math.pi / 180) for _ in range(2))
+        T = eye3()  # translate, in output-canvas units
+        T[:2, 2] = [u(0.5 - self.translate, 0.5 + self.translate) * d for d in self.size]
         M = T @ S @ R @ P @ C
         if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
-            if self.perspective:
-                img = cv2.warpPerspective(img, M, dsize=self.size, borderValue=(114, 114, 114))
-            else:
-                img = cv2.warpAffine(img, M[:2], dsize=self.size, borderValue=(114, 114, 114))
+            warp = cv2.warpPerspective if self.perspective else cv2.warpAffine
+            img = warp(img, M if self.perspective else M[:2], dsize=self.size,
+                       borderValue=(114, 114, 114))
         return img, M, s
 
     def apply_bboxes(self, bboxes, M):
@@ -320,9 +315,7 @@ class RandomHSV:
     """LUT-based hue/sat/value jitter (reference augment.py:545-576)."""
 
     def __init__(self, hgain=0.5, sgain=0.5, vgain=0.5):
-        self.hgain = hgain
-        self.sgain = sgain
-        self.vgain = vgain
+        self.hgain, self.sgain, self.vgain = hgain, sgain, vgain
 
     def __call__(self, labels):
         img = labels["img"]
@@ -331,10 +324,10 @@ class RandomHSV:
             hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
             dtype = img.dtype
             x = np.arange(0, 256, dtype=r.dtype)
-            lut_hue = ((x * r[0]) % 180).astype(dtype)
-            lut_sat = np.clip(x * r[1], 0, 255).astype(dtype)
-            lut_val = np.clip(x * r[2], 0, 255).astype(dtype)
-            im_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
+            luts = (((x * r[0]) % 180).astype(dtype),          # hue wraps at 180
+                    np.clip(x * r[1], 0, 255).astype(dtype),   # sat
+                    np.clip(x * r[2], 0, 255).astype(dtype))   # val
+            im_hsv = cv2.merge(tuple(cv2.LUT(ch, lut) for ch, lut in zip((hue, sat, val), luts)))
             cv2.cvtColor(im_hsv, cv2.COLOR_HSV2BGR, dst=img)
         return labels
 
@@ -344,16 +337,13 @@ class RandomFlip:
 
     def __init__(self, p=0.5, direction="horizontal"):
         assert direction in ("horizontal", "vertical")
-        self.p = p
-        self.direction = direction
+        self.p, self.direction = p, direction
 
     def __call__(self, labels):
         img = labels["img"]
         instances = labels.pop("instances")
         instances.convert_bbox(format="xywh")
-        h, w = img.shape[:2]
-        h = 1 if instances.normalized else h
-        w = 1 if instances.normalized else w
+        h, w = (1, 1) if instances.normalized else img.shape[:2]
         if self.direction == "vertical" and random.random() < self.p:
             img = np.flipud(img)
             instances.flipud(h)
@@ -417,16 +407,12 @@ class Format:
     """
 
     def __init__(self, bbox_format="xywh", normalize=True, batch_idx=True, bgr=0.0):
-        self.bbox_format = bbox_format
-        self.normalize = normalize
-        self.batch_idx = batch_idx
-        self.bgr = bgr
+        self.bbox_format, self.normalize = bbox_format, normalize
+        self.batch_idx, self.bgr = batch_idx, bgr
 
     def __call__(self, labels):
-        img = labels.pop("img")
+        img, cls, instances = (labels.pop(k) for k in ("img", "cls", "instances"))
         h, w = img.shape[:2]
-        cls = labels.pop("cls")
-        instances = labels.pop("instances")
         instances.convert_bbox(format=self.bbox_format)
         instances.denormalize(w, h)
         nl = len(instances)
@@ -474,15 +460,9 @@ class Albumentations:
         except ImportError:
             return  # optional dependency absent: no-op
         try:
-            recipe = [
-                A.Blur(p=0.01),
-                A.MedianBlur(p=0.01),
-                A.ToGray(p=0.01),
-                A.CLAHE(p=0.01),
-                A.RandomBrightnessContrast(p=0.0),
-                A.RandomGamma(p=0.0),
-                A.ImageCompression(quality_lower=75, p=0.0),
-            ]
+            recipe = [t(p=0.01) for t in (A.Blur, A.MedianBlur, A.ToGray, A.CLAHE)]
+            recipe += [A.RandomBrightnessContrast(p=0.0), A.RandomGamma(p=0.0),
+                       A.ImageCompression(quality_lower=75, p=0.0)]
             self.contains_spatial = any(t.__class__.__name__ in self._SPATIAL for t in recipe)
             if self.contains_spatial:
                 self.transform = A.Compose(
@@ -519,10 +499,7 @@ def v8_transforms(dataset, imgsz, hyp, stretch=False):
     """Standard YOLO training pipeline (reference augment.py:958-1006)."""
     mosaic = Mosaic(dataset, imgsz=imgsz, p=hyp.mosaic)
     affine = RandomPerspective(
-        degrees=hyp.degrees,
-        translate=hyp.translate,
-        scale=hyp.scale,
-        shear=hyp.shear,
+        degrees=hyp.degrees, translate=hyp.translate, scale=hyp.scale, shear=hyp.shear,
         perspective=hyp.perspective,
         pre_transform=None if stretch else LetterBox(new_shape=(imgsz, imgsz)),
     )
