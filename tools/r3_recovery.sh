@@ -24,6 +24,9 @@ date
 # 5b. device-ceiling recalibration (matmul/HBM sweep + stem conv reality)
 timeout 2700 python tools/roofline.py
 date
+# 5c. fused s4d stem Pallas kernel: isolated th sweep (Mosaic compile + timing)
+timeout 2700 python tools/fusedstem_probe.py
+date
 # 6. headline refresh
 timeout 3600 python bench.py
 date
