@@ -61,13 +61,11 @@ def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False, mode: 
 
     def forward(params, state, x):
         if use_s4d:
-            from yololite_tpu.models.modules import stem_s4d_apply, stem_s4d_apply_pallas
+            from yololite_tpu.models.modules import (
+                s4d_relayout, stem_s4d_apply, stem_s4d_apply_pallas)
 
-            b, hh, ww, cc = x.shape
-            xs = x.reshape(b, hh // 4, 2, 2, ww // 4, 2, 2, cc)
-            xs = xs.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, hh // 4, ww // 4, 16 * cc)
             fn = stem_s4d_apply_pallas if use_fused_stem else stem_s4d_apply
-            y = fn(model.rows[0].mod, model.rows[1].mod, params["0"], params["1"], xs)
+            y = fn(model.rows[0].mod, model.rows[1].mod, params["0"], params["1"], s4d_relayout(x))
             return model.apply(params, state, y, train=False, start=2)
         return model.apply(params, state, x, train=False)
 

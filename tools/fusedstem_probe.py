@@ -47,7 +47,7 @@ def main(bs=128, iters=20):
         @jax.jit
         def loop(params, x, salt):
             def body(c, _):
-                y = fn(params, x + c.astype(x.dtype) * 0)
+                y = fn(params, x + c.astype(x.dtype))
                 return (jnp.sum(y.astype(jnp.float32)) * 1e-9).astype(jnp.float32), None
 
             out, _ = jax.lax.scan(body, salt, None, length=iters)

@@ -48,7 +48,7 @@ def main(bs=128, iters=16):
     @jax.jit
     def run_default(params, state, raw, salt):
         def body(c, _):
-            x = device_letterbox(raw + c.astype(raw.dtype) * 0, imgsz=640, out_dtype_name="bfloat16")
+            x = device_letterbox(raw + c.astype(raw.dtype), imgsz=640, out_dtype_name="bfloat16")
             feats = model.apply(params, state, x, train=False)
             dets = nms_from_feats(feats, model.strides, model.nc, model.reg_max, **nms_kw)
             return (jnp.sum(dets) * 1e-12).astype(jnp.float32), None
@@ -59,7 +59,7 @@ def main(bs=128, iters=16):
     @jax.jit
     def run_s2d(params, state, raw, salt):
         def body(c, _):
-            xs = device_letterbox_s2d(raw + c.astype(raw.dtype) * 0, imgsz=640, out_dtype_name="bfloat16")
+            xs = device_letterbox_s2d(raw + c.astype(raw.dtype), imgsz=640, out_dtype_name="bfloat16")
             y0 = stem_s2d_apply(model.rows[0].mod, params["0"], xs)
             feats = model.apply(params, state, y0, train=False, start=1)
             dets = nms_from_feats(feats, model.strides, model.nc, model.reg_max, **nms_kw)
@@ -71,7 +71,7 @@ def main(bs=128, iters=16):
     @jax.jit
     def run_s4d(params, state, raw, salt):
         def body(c, _):
-            xs = device_letterbox_s4d(raw + c.astype(raw.dtype) * 0, imgsz=640, out_dtype_name="bfloat16")
+            xs = device_letterbox_s4d(raw + c.astype(raw.dtype), imgsz=640, out_dtype_name="bfloat16")
             y1 = stem_s4d_apply(model.rows[0].mod, model.rows[1].mod, params["0"], params["1"], xs)
             feats = model.apply(params, state, y1, train=False, start=2)
             dets = nms_from_feats(feats, model.strides, model.nc, model.reg_max, **nms_kw)
@@ -83,7 +83,7 @@ def main(bs=128, iters=16):
     @jax.jit
     def run_s4d_fused(params, state, raw, salt):
         def body(c, _):
-            xs = device_letterbox_s4d(raw + c.astype(raw.dtype) * 0, imgsz=640, out_dtype_name="bfloat16")
+            xs = device_letterbox_s4d(raw + c.astype(raw.dtype), imgsz=640, out_dtype_name="bfloat16")
             y1 = stem_s4d_apply_pallas(model.rows[0].mod, model.rows[1].mod, params["0"], params["1"], xs)
             feats = model.apply(params, state, y1, train=False, start=2)
             dets = nms_from_feats(feats, model.strides, model.nc, model.reg_max, **nms_kw)

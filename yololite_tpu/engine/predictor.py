@@ -159,6 +159,9 @@ class DetectionPredictor:
         row0 = model.rows[0].mod
         use_s4d = USE_S4D_STEM and _stem_ok and _plain_stem_conv(0) and _plain_stem_conv(1)
         use_s2d = (USE_S2D_STEM and not use_s4d and _stem_ok and _plain_stem_conv(0))
+        # snapshot at graph-build time like the flags above: a later flip must
+        # not split one predictor's jit cache across stem implementations
+        use_fused_stem = use_s4d and USE_FUSED_STEM_KERNEL
 
         # top-K candidate pool for the single-label predict path: 256 covers any
         # realistic above-conf count at the 0.25 default (measured sweep,
@@ -183,13 +186,12 @@ class DetectionPredictor:
             letterboxed input to the space-to-depth grid and run the folded
             k2s1 stem conv(s)."""
             from yololite_tpu.models.modules import (
-                stem_s2d_apply, stem_s4d_apply, stem_s4d_apply_pallas)
+                s4d_relayout, stem_s2d_apply, stem_s4d_apply, stem_s4d_apply_pallas)
 
             b, hh, ww, cc = x.shape
             if use_s4d:
-                xs = x.reshape(b, hh // 4, 2, 2, ww // 4, 2, 2, cc)
-                xs = xs.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, hh // 4, ww // 4, 16 * cc)
-                s4d_fn = stem_s4d_apply_pallas if USE_FUSED_STEM_KERNEL else stem_s4d_apply
+                xs = s4d_relayout(x)
+                s4d_fn = stem_s4d_apply_pallas if use_fused_stem else stem_s4d_apply
                 y1 = s4d_fn(row0, model.rows[1].mod, params["0"], params["1"], xs)
                 return model.apply(params, state, y1, train=False, start=2)
             xs = x.reshape(b, hh // 2, 2, ww // 2, 2, cc)
@@ -247,7 +249,7 @@ class DetectionPredictor:
                 dt = "bfloat16" if half else "float32"
                 if use_s4d:
                     xs = device_letterbox_s4d(raw_uint8, imgsz=imgsz, out_dtype_name=dt)
-                    s4d_fn = stem_s4d_apply_pallas if USE_FUSED_STEM_KERNEL else stem_s4d_apply
+                    s4d_fn = stem_s4d_apply_pallas if use_fused_stem else stem_s4d_apply
                     y = s4d_fn(row0, model.rows[1].mod, params["0"], params["1"], xs)
                     feats = model.apply(params, state, y, train=False, start=2)
                 else:

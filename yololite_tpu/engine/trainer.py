@@ -388,7 +388,9 @@ class DetectionTrainer:
 
         self.params = replicate_tree(self.mesh, self.params)
         self.state = replicate_tree(self.mesh, self.state)
-        grad_sum = jax.tree.map(jnp.zeros_like, self.params)
+        # the fused accumulate==1 path never touches grad_sum: skip the
+        # params-sized allocation (and its mesh replicas) entirely
+        grad_sum = None if self._fused_step is not None else jax.tree.map(jnp.zeros_like, self.params)
         ema_params, ema_state = replicate_tree(self.mesh, self.ema.ema_params), replicate_tree(
             self.mesh, self.ema.ema_state
         )
@@ -478,17 +480,11 @@ class DetectionTrainer:
                         jnp.asarray(lr_vec), jnp.asarray(momentum, jnp.float32), jnp.asarray(ema_updates),
                     )
                     last_opt_step = ni
-                    tloss = items if tloss is None else (tloss * i + items) / (i + 1)
                 else:
                     grad_sum, self.state, total, items = self._grad_step(
                         self.params, self.state, grad_sum, images,
                         targets["gt_labels"], targets["gt_bboxes"], targets["mask_gt"],
                     )
-                    # running mean stays a device array: fetching `items` here would
-                    # sync the host to every step and stall dispatch pipelining (the
-                    # host must stay ahead, preparing the next batch)
-                    tloss = items if tloss is None else (tloss * i + items) / (i + 1)
-
                     if ni - last_opt_step >= self.accumulate:
                         ema_updates += 1
                         self.params, opt_state, grad_sum, ema_params, ema_state, gnorm = self._apply_step(
@@ -496,6 +492,10 @@ class DetectionTrainer:
                             jnp.asarray(lr_vec), jnp.asarray(momentum, jnp.float32), jnp.asarray(ema_updates),
                         )
                         last_opt_step = ni
+                # running mean stays a device array: fetching `items` here would
+                # sync the host to every step and stall dispatch pipelining (the
+                # host must stay ahead, preparing the next batch)
+                tloss = items if tloss is None else (tloss * i + items) / (i + 1)
 
                 if i % max(nb // 4, 1) == 0:
                     t = np.asarray(tloss)  # the only in-epoch device fetch

@@ -325,6 +325,14 @@ def stem_s4d_apply(conv0: "Conv", conv1: "Conv", p0: Dict, p1: Dict,
     return conv1._act(z + p1["conv"]["b"].astype(z.dtype))
 
 
+def s4d_relayout(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/4, W/4, 16*C) 4x4 space-to-depth: the layout
+    fold_stem_s4d consumes (channel ((dy2*2+dx2)*4 + dy1*2+dx1)*C + c)."""
+    b, hh, ww, cc = x.shape
+    xs = x.reshape(b, hh // 4, 2, 2, ww // 4, 2, 2, cc)
+    return xs.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, hh // 4, ww // 4, 16 * cc)
+
+
 def stem_s4d_apply_pallas(conv0: "Conv", conv1: "Conv", p0: Dict, p1: Dict,
                           x_s4d: jnp.ndarray, th: int = 40, interpret=None) -> jnp.ndarray:
     """stem_s4d_apply with both convs fused into one Pallas kernel (the conv0
