@@ -111,6 +111,25 @@ BUDGET_S = 1200  # wall budget for the optional stages: the JSON line must alway
 
 
 def main():
+    # Bounded device probe: against a wedged TPU relay, jax backend init blocks
+    # 25+ minutes (docs/PERF.md round-3 tunnel facts) — fail fast and honestly
+    # instead of hanging the driver. The last on-chip measurement this round is
+    # journaled in docs/bench_r03_local.log.
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=300,
+        )
+        ok = probe.returncode == 0
+    except Exception:
+        ok = False
+    if not ok:
+        print("TPU relay unreachable (backend init timed out/failed); no fresh measurement "
+              "possible. Last on-chip run this round: docs/bench_r03_local.log", file=sys.stderr)
+        sys.exit(1)
+
     import jax
 
     t0 = time.perf_counter()
