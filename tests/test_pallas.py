@@ -284,3 +284,26 @@ def test_fused_stem_pallas_single_band():
     ref = stem_s4d_apply(conv0, conv1, p0, p1, xs4)
     out = stem_s4d_apply_pallas(conv0, conv1, p0, p1, xs4, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("hw,th", [((8, 16), 4), ((24, 8), 6), ((12, 12), 12)])
+def test_fused_stem_pallas_shape_fuzz(hw, th):
+    """Rectangular s4d grids and non-default band heights, fp32 path."""
+    from yololite_tpu.models.modules import Conv, KeyGen, stem_s4d_apply, stem_s4d_apply_pallas
+
+    kg = KeyGen(41)
+    conv0, conv1 = Conv(3, 16, k=3, s=2), Conv(16, 32, k=3, s=2)
+    p0, s0 = conv0.init(kg)
+    p1, s1 = conv1.init(kg)
+    p0, p1 = Conv.fuse(p0, s0), Conv.fuse(p1, s1)
+    H4, W4 = hw
+    rng = np.random.default_rng(H4 * 100 + W4)
+    x = np.asarray(rng.standard_normal((2, H4 * 4, W4 * 4, 3)).astype(np.float32))
+    xs4 = (x.reshape(2, H4, 2, 2, W4, 2, 2, 3).transpose(0, 1, 4, 2, 5, 3, 6, 7)
+           .reshape(2, H4, W4, 48))
+    xs4 = jnp.asarray(xs4)
+
+    ref = stem_s4d_apply(conv0, conv1, p0, p1, xs4)
+    out = stem_s4d_apply_pallas(conv0, conv1, p0, p1, xs4, th=th, interpret=True)
+    assert out.shape == ref.shape == (2, H4, W4, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
