@@ -349,32 +349,40 @@ def decode_select_pallas(feats, strides, nc: int, reg_max: int = 16, conf_thres:
 # ---------------- fused s4d stem kernel (conv0' + SiLU + conv1' in VMEM) ----------------
 
 
-def _fused_stem_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, z_ref, *, th: int, w4: int):
+def _fused_stem_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, z_ref, *, th: int, w4: int,
+                       wa: int, wb: int):
     """One row-band of the fused stem: two k2s1 convs with the intermediate in VMEM.
 
-    x block: (1, H4+2, W4+2, C0) zero-padded top/left by 2 (revisited across
-    bands -- index_map pins it per batch element). z block: (1, th, w4, C2).
-    Both convs are expressed as 4-tap im2col concats -> one matmul each, so the
-    contraction widths are 4*C0 / 4*C1 (192 / 256 at n-scale) and every access
-    is contiguous (no stride-2 anywhere -- the round-1 strided-s2d dead end).
+    x block: (1, H4+2, Wa+1, C0) zero-padded top/left by 2 and right-padded to
+    the aligned tap width (revisited across bands -- index_map pins it per
+    batch element). z block: (1, th, w4, C2). Both convs are expressed as
+    4-tap im2col concats -> one matmul each, so the contraction widths are
+    4*C0 / 4*C1 (192 / 256 at n-scale) and every access is contiguous (no
+    stride-2 anywhere -- the round-1 strided-s2d dead end).
+
+    Tap widths wa/wb are 16-multiples (wa = align16(w4)+16 >= w4+1+1,
+    wb = align16(w4) >= w4): the (rows, cols, chan) -> (rows*cols, chan)
+    collapse before each matmul is then physically layout-preserving for
+    Mosaic's sublane tiling in every dtype. Columns past the valid range carry
+    finite garbage that the final [:, :w4] store slice drops.
 
     Semantics note: conv1's zero padding applies to conv0's OUTPUT, so the
     y-halo entries at global row/col -1 are zeroed explicitly (computing them
     from the zero-padded x would give act(b0) != 0).
     """
     i = pl.program_id(1)
-    xs = x_ref[0, pl.ds(i * th, th + 2), :, :]  # (th+2, W4+2, C0)
+    xs = x_ref[0, pl.ds(i * th, th + 2), :, :]  # (th+2, Wa+1, C0)
 
-    # conv0': y[a, b] for band rows a in [0, th], cols b in [0, w4]
-    #   global y row j = i*th - 1 + a, col c = b - 1
-    t00 = xs[0:th + 1, 0:w4 + 1, :]
-    t01 = xs[0:th + 1, 1:w4 + 2, :]
-    t10 = xs[1:th + 2, 0:w4 + 1, :]
-    t11 = xs[1:th + 2, 1:w4 + 2, :]
-    x4 = jnp.concatenate([t00, t01, t10, t11], axis=-1)  # (th+1, W4+1, 4*C0)
+    # conv0': y[a, b] for band rows a in [0, th], cols b in [0, wa)
+    #   global y row j = i*th - 1 + a, col c = b - 1 (valid through b = w4)
+    t00 = xs[0:th + 1, 0:wa, :]
+    t01 = xs[0:th + 1, 1:wa + 1, :]
+    t10 = xs[1:th + 2, 0:wa, :]
+    t11 = xs[1:th + 2, 1:wa + 1, :]
+    x4 = jnp.concatenate([t00, t01, t10, t11], axis=-1)  # (th+1, Wa, 4*C0)
     c4 = x4.shape[-1]
     y = jnp.dot(x4.reshape(-1, c4), w0_ref[:, :], preferred_element_type=jnp.float32)
-    y = y.reshape(th + 1, w4 + 1, -1) + b0_ref[0, :]
+    y = y.reshape(th + 1, wa, -1) + b0_ref[0, :]
     y = y * jax.nn.sigmoid(y)  # SiLU
     # zero the conv1 padding: col b=0 is global col -1 (always); row a=0 is
     # global row -1 only in band 0
@@ -383,17 +391,17 @@ def _fused_stem_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, z_ref, *, th: int,
     y = jnp.where((cols == 0) | ((rows == 0) & (i == 0)), 0.0, y)
     y = y.astype(x4.dtype)
 
-    # conv1': z[zr, c] = act(b1 + sum taps y[zr+dy, c+dx])
-    u00 = y[0:th, 0:w4, :]
-    u01 = y[0:th, 1:w4 + 1, :]
-    u10 = y[1:th + 1, 0:w4, :]
-    u11 = y[1:th + 1, 1:w4 + 1, :]
-    y4 = jnp.concatenate([u00, u01, u10, u11], axis=-1)  # (th, w4, 4*C1)
+    # conv1': z[zr, c] = act(b1 + sum taps y[zr+dy, c+dx]), valid c < w4
+    u00 = y[0:th, 0:wb, :]
+    u01 = y[0:th, 1:wb + 1, :]
+    u10 = y[1:th + 1, 0:wb, :]
+    u11 = y[1:th + 1, 1:wb + 1, :]
+    y4 = jnp.concatenate([u00, u01, u10, u11], axis=-1)  # (th, wb, 4*C1)
     c1 = y4.shape[-1]
     z = jnp.dot(y4.reshape(-1, c1), w1_ref[:, :], preferred_element_type=jnp.float32)
-    z = z.reshape(th, w4, -1) + b1_ref[0, :]
+    z = z.reshape(th, wb, -1) + b1_ref[0, :]
     z = z * jax.nn.sigmoid(z)
-    z_ref[0, :, :, :] = z.astype(z_ref.dtype)
+    z_ref[0, :, :, :] = z[:, :w4, :].astype(z_ref.dtype)
 
 
 def fused_stem_s4d_pallas(x_s4d: jnp.ndarray, w0: jnp.ndarray, b0: jnp.ndarray,
@@ -419,17 +427,22 @@ def fused_stem_s4d_pallas(x_s4d: jnp.ndarray, w0: jnp.ndarray, b0: jnp.ndarray,
     nb = H4 // th
     co0, c2 = w0.shape[-1], w1.shape[-1]
     dt = x_s4d.dtype
+    # aligned im2col tap widths (see kernel docstring): wb covers the conv1
+    # taps, wa = wb + 16 covers the one-wider conv0 taps plus their +1 shift
+    wb = -(-W4 // 16) * 16
+    wa = wb + 16
     # im2col weight concat, tap order (dy,dx) = 00,01,10,11
     w0c = jnp.concatenate([w0[0, 0], w0[0, 1], w0[1, 0], w0[1, 1]], axis=0).astype(dt)
     w1c = jnp.concatenate([w1[0, 0], w1[0, 1], w1[1, 0], w1[1, 1]], axis=0).astype(dt)
-    xp = jnp.pad(x_s4d, ((0, 0), (2, 0), (2, 0), (0, 0)))  # top/left halo for both convs
+    # top/left halo of 2 for the two convs; right slack out to the tap width
+    xp = jnp.pad(x_s4d, ((0, 0), (2, 0), (2, wa + 1 - (W4 + 2)), (0, 0)))
 
-    kernel = functools.partial(_fused_stem_kernel, th=th, w4=W4)
+    kernel = functools.partial(_fused_stem_kernel, th=th, w4=W4, wa=wa, wb=wb)
     return pl.pallas_call(
         kernel,
         grid=(B, nb),
         in_specs=[
-            pl.BlockSpec((1, H4 + 2, W4 + 2, C0), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4 + 2, wa + 1, C0), lambda b, i: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * C0, co0), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co0), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * co0, c2), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
