@@ -74,3 +74,23 @@ def test_predictor_int8_end_to_end(tmp_path):
         # same top detection location within a few pixels at random weights
         if len(a) and len(b):
             np.testing.assert_allclose(a[0][:4], b[0][:4], atol=8.0)
+
+
+def test_predictor_int8_tensor_source_calibrates(tmp_path):
+    """int8=True with a pre-normalized NHWC tensor source: calibration runs on
+    the tensor batch itself (not skipped -- ADVICE r2 #4) and the quantized
+    graph produces detections."""
+    from yololite_tpu.engine.predictor import DetectionPredictor
+    from yololite_tpu.models.model import DetectionModel
+
+    model = DetectionModel("yolo11n.yaml")
+    params, state = model.init(0)
+    batch = np.random.default_rng(7).random((2, 160, 160, 3)).astype(np.float32)
+
+    pred = DetectionPredictor(overrides=dict(
+        imgsz=160, batch=2, conf=1e-6, save=False, verbose=False,
+        project=str(tmp_path), int8=True))
+    pred.setup_model(model, params, state, half=False)
+    results = pred(batch)
+    assert pred._quantized  # tensor branch must calibrate, not silently skip
+    assert len(results) == 2
