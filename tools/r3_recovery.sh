@@ -31,3 +31,8 @@ date
 timeout 3600 python bench.py
 date
 echo R3_RECOVERY_DONE
+# persist the full measurement log into the repo: if the round ends before a
+# session can act on these numbers, the driver's end-of-round commit of
+# uncommitted work carries them to round 4
+cp /tmp/r3_recovery.log docs/r3_recovery_results.log 2>/dev/null || true
+date
