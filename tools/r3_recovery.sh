@@ -30,6 +30,15 @@ date
 # 6. headline refresh
 timeout 3600 python bench.py
 date
+# 6b. headline with the stem levers forced on (measurement only; the default
+# flip is adjudicated against the default-flag run above)
+timeout 3600 python -c "
+import yololite_tpu.engine.predictor as pm
+pm.USE_S4D_STEM = True
+pm.USE_FUSED_STEM_KERNEL = True
+import bench
+bench.main()"
+date
 echo R3_RECOVERY_DONE
 # persist the full measurement log into the repo: if the round ends before a
 # session can act on these numbers, the driver's end-of-round commit of
