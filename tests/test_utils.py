@@ -458,3 +458,84 @@ def test_batch_probiou():
     out = np.asarray(batch_probiou(a, b))
     assert out.shape == (1, 2)
     assert out[0, 0] > 0.99 and out[0, 1] < 0.01
+
+
+def test_simpleclass_and_env_sniffers(tmp_path):
+    """Round-3 crumb sweep: SimpleClass display base, git/pip env sniffers,
+    set_logging, get_cpu_info, parse_requirements, convert_batch2numpy,
+    select_device (reference utils/__init__.py:80-103,173-216,458-561,
+    torch_utils.py:69-172, checks.py:32-54, ops.py:487)."""
+    import numpy as np
+
+    from yololite_tpu.utils import set_logging
+    from yololite_tpu.utils import misc as M
+
+    # SimpleClass: attribute dump + helpful missing-attribute error
+    class Thing(M.SimpleClass):
+        """Thing docs."""
+        def __init__(self):
+            self.alpha, self._hidden = 1, 2
+    t = Thing()
+    s = str(t)
+    assert "alpha: 1" in s and "_hidden" not in s and "Thing object with attributes" in s
+    assert repr(t) == s
+    try:
+        t.nope
+        raise AssertionError("expected AttributeError")
+    except AttributeError as e:
+        assert "Thing docs." in str(e)
+
+    # Results/Boxes/DetMetrics inherit the display base like the reference
+    from yololite_tpu.engine.results import Boxes, Results
+    from yololite_tpu.utils.metrics import DetMetrics
+    img = np.zeros((8, 8, 3), np.uint8)
+    r = Results(img, "x.jpg", {0: "a"}, boxes=np.array([[0, 0, 4, 4, 0.9, 0]], np.float32))
+    assert isinstance(r, M.SimpleClass) and isinstance(r.boxes, M.SimpleClass)
+    assert "boxes:" in str(r) and "conf:" in str(r.boxes)
+    assert isinstance(DetMetrics(), M.SimpleClass)
+    assert r.boxes.cuda() is r.boxes and r.boxes.to("cpu") is r.boxes  # BaseTensor device shims
+    assert r.tojson() == r.to_json()  # deprecated alias (ref results.py:418)
+
+    # env sniffers
+    assert M.is_pip_package("numpy") is True and M.is_pip_package() in (True, False)
+    assert M.is_git_dir() in (True, False)
+    if M.is_git_dir():
+        assert M.get_git_dir().is_dir()
+        assert M.get_git_branch() is None or isinstance(M.get_git_branch(), str)
+        url = M.get_git_origin_url()
+        assert url is None or isinstance(url, str)
+    assert isinstance(M.get_cpu_info(), str) and M.get_cpu_info() != ""
+
+    # set_logging is idempotent (no duplicate handlers) and returns the logger
+    lg1 = set_logging("yololite_tpu_test", verbose=True)
+    lg2 = set_logging("yololite_tpu_test", verbose=True)
+    assert lg1 is lg2 and len(lg1.handlers) == 1
+
+    # parse_requirements: file form with comments + installed-package form
+    req = tmp_path / "requirements.txt"
+    req.write_text("# header\nnumpy>=1.20  # inline\n\npyyaml\n")
+    parsed = {r.name: r.specifier for r in __import__("yololite_tpu.utils.checks", fromlist=["x"]).parse_requirements(req)}
+    assert parsed == {"numpy": ">=1.20", "pyyaml": ""}
+
+    # convert_batch2numpy: NHWC normalized floats -> list of BGR uint8
+    from yololite_tpu.ops.boxes import convert_batch2numpy
+    batch = np.zeros((2, 4, 4, 3), np.float32)
+    batch[..., 0] = 1.0  # R channel
+    out = convert_batch2numpy(batch)
+    assert len(out) == 2 and out[0].dtype == np.uint8
+    assert out[0][0, 0].tolist() == [0, 0, 255]  # RGB -> BGR flip
+
+    # select_device: parses strings, enforces multi-device batch divisibility
+    from yololite_tpu.parallel.mesh import select_device
+    devs = select_device("cpu", verbose=False)
+    assert len(devs) >= 1 and devs[0].platform == "cpu"
+    assert select_device("", verbose=False)
+    assert select_device("0", verbose=False)[0].id == 0
+    n = len(__import__("jax").devices())
+    if n > 1:
+        import pytest
+        with pytest.raises(ValueError, match="multiple of device count"):
+            select_device(",".join(str(i) for i in range(n)), batch=n + 1, verbose=False)
+        with pytest.raises(ValueError, match="batch<1"):
+            select_device(",".join(str(i) for i in range(n)), batch=0, verbose=False)
+        assert len(select_device("0,1", batch=4, verbose=False)) == 2

@@ -277,7 +277,10 @@ class DataLoader:
 
     The reference leans on torch's multi-worker DataLoader (data/build.py:27-116);
     cv2/numpy release the GIL for the heavy parts so threads pipeline well and
-    share the RAM image cache.
+    share the RAM image cache. Determinism: the explicit `seed` drives the
+    shuffle RNG — the per-process equivalent of the reference's seed_worker +
+    seeded torch.Generator (data/build.py:76-116); thread workers share the
+    process RNG state, so no per-worker reseed exists or is needed.
     """
 
     def __init__(self, dataset, batch_size: int = 16, shuffle: bool = False, workers: int = 8,

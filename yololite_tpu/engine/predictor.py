@@ -356,8 +356,9 @@ class DetectionPredictor:
                     if bool(self.args.int8) and not self._quantized:
                         # calibrate directly on this batch (already normalized imagery)
                         self._quantize_from(im)
-                    orig = [np.ascontiguousarray((np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)[..., ::-1])
-                            for a in im]  # BGR uint8 for Results
+                    from yololite_tpu.ops.boxes import convert_batch2numpy
+
+                    orig = convert_batch2numpy(im)  # BGR uint8 for Results (ref ops.py:487)
                     with profilers[0]:
                         if n < batch_size:
                             im = np.concatenate([im, np.zeros((batch_size - n, *im.shape[1:]), im.dtype)])

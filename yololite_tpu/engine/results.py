@@ -15,10 +15,11 @@ import numpy as np
 
 from yololite_tpu.ops.boxes import xyxy2xywh
 from yololite_tpu.utils import LOGGER
+from yololite_tpu.utils.misc import SimpleClass
 from yololite_tpu.utils.plotting import Annotator, colors
 
 
-class BaseTensor:
+class BaseTensor(SimpleClass):
     """Thin numpy container with torch-tensor-like conveniences."""
 
     def __init__(self, data: np.ndarray, orig_shape):
@@ -36,6 +37,12 @@ class BaseTensor:
 
     def numpy(self):
         return self.data
+
+    def cuda(self):  # device shim: numpy-backed container (reference results.py:29)
+        return self
+
+    def to(self, *args, **kwargs):  # device/dtype shim (reference results.py:32)
+        return self
 
     @property
     def shape(self):
@@ -88,7 +95,7 @@ class Boxes(BaseTensor):
         return xy
 
 
-class Results:
+class Results(SimpleClass):
     """Single-image inference result: boxes + original image + bookkeeping."""
 
     def __init__(self, orig_img: np.ndarray, path: str, names: Dict[int, str], boxes: Optional[np.ndarray] = None,
@@ -234,6 +241,11 @@ class Results:
 
     def to_json(self, normalize=False, decimals=5) -> str:
         return json.dumps(self.summary(normalize, decimals), indent=2)
+
+    def tojson(self, normalize=False, decimals=5) -> str:
+        """Deprecated alias kept for reference API parity (results.py:418-421)."""
+        LOGGER.warning("'tojson' is deprecated, use 'to_json' instead.")
+        return self.to_json(normalize, decimals)
 
     def to_df(self, normalize=False, decimals=5):
         """Summary as a pandas DataFrame (pandas is an optional dependency)."""

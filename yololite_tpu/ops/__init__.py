@@ -7,6 +7,7 @@ from yololite_tpu.ops.boxes import (
     bbox_ioa,
     clip_boxes_np,
     clip_coords,
+    convert_batch2numpy,
     dist2bbox,
     ltwh2xywh,
     ltwh2xyxy,

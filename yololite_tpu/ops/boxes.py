@@ -92,6 +92,14 @@ def scale_image_np(masks: np.ndarray, im0_shape, ratio_pad=None) -> np.ndarray:
     return masks
 
 
+def convert_batch2numpy(batch) -> list:
+    """Normalized NHWC float batch -> list of BGR uint8 images for Results
+    (reference ops.py:487 convert_torch2numpy_batch; there the batch is NCHW
+    torch -- here it is the framework-native NHWC array, device or host)."""
+    arr = np.asarray(batch, np.float32)
+    return [np.ascontiguousarray((np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)[..., ::-1]) for a in arr]
+
+
 def scale_boxes_np(img1_shape, boxes, img0_shape, ratio_pad=None, padding=True, xywh=False):
     """Rescale boxes from letterboxed img1_shape back to original img0_shape.
 

@@ -19,6 +19,7 @@ import yaml
 
 __all__ = (
     "LOGGER",
+    "set_logging",
     "ROOT",
     "DEFAULT_CFG_PATH",
     "TQDM",
@@ -34,18 +35,24 @@ DEFAULT_CFG_PATH = ROOT / "cfg" / "default.yaml"
 VERBOSE = str(os.getenv("YOLO_VERBOSE", True)).lower() == "true"
 
 
-def _make_logger(name: str = "yololite_tpu") -> logging.Logger:
+def set_logging(name: str = "yololite_tpu", verbose: bool = True) -> logging.Logger:
+    """Configure and return the named stdout logger (reference utils/__init__.py:173-216).
+
+    Message-only format, INFO when verbose else ERROR, no propagation. The
+    reference's Windows/UTF-8 stdout reconfiguration branch is irrelevant on
+    the linux TPU hosts this framework targets.
+    """
     logger = logging.getLogger(name)
     if not logger.handlers:
         handler = logging.StreamHandler(sys.stdout)
         handler.setFormatter(logging.Formatter("%(message)s"))
         logger.addHandler(handler)
-    logger.setLevel(logging.INFO if VERBOSE else logging.ERROR)
+    logger.setLevel(logging.INFO if verbose else logging.ERROR)
     logger.propagate = False
     return logger
 
 
-LOGGER = _make_logger()
+LOGGER = set_logging(verbose=VERBOSE)
 
 
 class TQDM:

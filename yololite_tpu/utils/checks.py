@@ -91,3 +91,32 @@ def parse_version(version: str = "0.0.0") -> tuple:
     except Exception as e:
         LOGGER.warning(f"parse_version({version!r}) failed, returning (0, 0, 0): {e}")
         return 0, 0, 0
+
+
+def parse_requirements(file_path=None, package: str = ""):
+    """Parse a requirements.txt (or an installed package's requirement list) into
+    [SimpleNamespace(name, specifier), ...] (reference checks.py:32-54).
+
+    Comment lines and inline comments are stripped. The reference feeds this to
+    its pip auto-installer, which this framework deliberately omits (hermetic
+    env); the parser itself is kept for API parity and env reporting.
+    """
+    import re
+    from importlib import metadata
+    from pathlib import Path
+    from types import SimpleNamespace
+
+    if package:
+        requires = [x for x in (metadata.distribution(package).requires or []) if "extra == " not in x]
+    else:
+        requires = Path(file_path).read_text().splitlines()
+
+    requirements = []
+    for line in requires:
+        line = line.strip()
+        if line and not line.startswith("#"):
+            line = line.split("#")[0].strip()
+            match = re.match(r"([a-zA-Z0-9-_]+)\s*([<>!=~]+.*)?", line)
+            if match:
+                requirements.append(SimpleNamespace(name=match[1], specifier=match[2].strip() if match[2] else ""))
+    return requirements

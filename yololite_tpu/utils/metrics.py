@@ -13,6 +13,7 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from yololite_tpu.ops.boxes import box_iou  # noqa: F401  (re-exported for validator use)
+from yololite_tpu.utils.misc import SimpleClass
 
 
 def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
@@ -118,7 +119,7 @@ def _plot_curves(x, p_curve, r_curve, f1_curve, prec_values, ap, save_dir, prefi
         plt.close(fig)
 
 
-class Metric:
+class Metric(SimpleClass):
     """Holder for per-class P/R/F1/AP arrays with summary properties."""
 
     def __init__(self):
@@ -179,7 +180,7 @@ class Metric:
          self.p_curve, self.r_curve, self.f1_curve, self.px, self.prec_values) = results
 
 
-class DetMetrics:
+class DetMetrics(SimpleClass):
     """Detection metrics facade used by the validator (reference metrics.py:739-850)."""
 
     def __init__(self, save_dir=Path("."), plot=False, names={}):

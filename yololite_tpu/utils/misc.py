@@ -24,6 +24,32 @@ def clean_str(s):
     return re.sub(pattern="[|@#!¡·$€%&()=?¿^*;:,¨´><+]", repl="_", string=s)
 
 
+class SimpleClass:
+    """Base giving subclasses a readable attribute-dump str/repr and a helpful
+    missing-attribute error (reference utils/__init__.py:80-103). Results,
+    Boxes, Metric and DetMetrics inherit this so printing them lists their
+    public attributes, matching the reference's display behavior."""
+
+    def __str__(self):
+        attrs = []
+        for a in dir(self):
+            v = getattr(self, a)
+            if not callable(v) and not a.startswith("_"):
+                if isinstance(v, SimpleClass):
+                    s = f"{a}: {v.__module__}.{v.__class__.__name__} object"
+                else:
+                    s = f"{a}: {v!r}"
+                attrs.append(s)
+        return f"{self.__module__}.{self.__class__.__name__} object with attributes:\n\n" + "\n".join(attrs)
+
+    def __repr__(self):
+        return self.__str__()
+
+    def __getattr__(self, attr):
+        name = self.__class__.__name__
+        raise AttributeError(f"'{name}' object has no attribute '{attr}'. See valid attributes below.\n{self.__doc__}")
+
+
 class TryExcept:
     """Context manager / decorator that logs exceptions instead of raising."""
 
@@ -296,6 +322,78 @@ def is_github_action_running() -> bool:
     import os
 
     return all(k in os.environ for k in ("GITHUB_ACTIONS", "GITHUB_WORKFLOW", "RUNNER_OS"))
+
+
+def is_pip_package(filepath: str = __name__) -> bool:
+    """True when `filepath` resolves to an importable module with a real origin
+    (reference utils/__init__.py:458-473)."""
+    import importlib.util
+
+    spec = importlib.util.find_spec(filepath)
+    return spec is not None and spec.origin is not None
+
+
+def get_git_dir() -> Optional[Path]:
+    """Repo root containing this package, or None (reference utils/__init__.py:510-520)."""
+    for d in Path(__file__).parents:
+        if (d / ".git").is_dir():
+            return d
+    return None
+
+
+def is_git_dir() -> bool:
+    """True when this package lives inside a git checkout (reference :523-531)."""
+    return get_git_dir() is not None
+
+
+def get_git_origin_url() -> Optional[str]:
+    """origin URL of the enclosing git repo, or None (reference :534-546)."""
+    import subprocess
+
+    if is_git_dir():
+        try:
+            out = subprocess.check_output(["git", "config", "--get", "remote.origin.url"],
+                                          cwd=get_git_dir(), stderr=subprocess.DEVNULL)
+            return out.decode().strip()
+        except Exception:
+            return None
+    return None
+
+
+def get_git_branch() -> Optional[str]:
+    """Current branch of the enclosing git repo, or None (reference :549-561)."""
+    import subprocess
+
+    if is_git_dir():
+        try:
+            out = subprocess.check_output(["git", "rev-parse", "--abbrev-ref", "HEAD"],
+                                          cwd=get_git_dir(), stderr=subprocess.DEVNULL)
+            return out.decode().strip()
+        except Exception:
+            return None
+    return None
+
+
+@functools.lru_cache(maxsize=1)
+def get_cpu_info() -> str:
+    """Host CPU description, e.g. 'Intel Xeon ...' (reference torch_utils.py:69-84).
+
+    Reads /proc/cpuinfo (the reference shells out to the optional py-cpuinfo
+    package; /proc is always present on the linux TPU hosts this targets),
+    falling back to platform.processor(). Cached like the reference's
+    PERSISTENT_CACHE entry.
+    """
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("model name"):
+                    s = line.split(":", 1)[1].strip()
+                    return s.replace("(R)", "").replace("CPU ", "").replace("@ ", "")
+    except OSError:
+        pass
+    return platform.processor() or "unknown"
 
 
 def get_user_config_dir(sub_dir: str = "yololite_tpu") -> Path:
