@@ -107,7 +107,9 @@ def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False, mode: 
     return best, best_bs
 
 
-BUDGET_S = 1200  # wall budget for the optional stages: the JSON line must always print
+BUDGET_S = 2400  # wall budget for the optional stages: the JSON line must always print
+# (r3: 800s starved m-int8 — its quantized graph is a fresh slow remote compile;
+# the recovery/driver invocations bound the whole run at 3600s anyway)
 
 
 def main():
