@@ -416,3 +416,41 @@ def test_predict_fused_stem_kernel_flag_matches_default(fake_pt):
     a, b = ref.boxes.data, out.boxes.data
     assert a.shape == b.shape and len(a) > 0
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-3)
+
+
+def test_export_predict_roundtrip(tmp_path):
+    """jax.export artifact == in-process predict graph, bit-for-bit.
+
+    Exports the fused forward+decode+NMS graph (weights baked in), reloads it
+    from disk, and compares against the same graph run in-process. Serving
+    contract: normalized float32 NHWC in, (B, max_det, 6) padded rows out.
+    """
+    import jax
+
+    from yololite_tpu import YOLOLite
+    from yololite_tpu.models.modules import fuse_tree
+    from yololite_tpu.ops.nms import nms_from_feats
+    from yololite_tpu.runtime import load_exported
+
+    m = YOLOLite("yolo11n.yaml")
+    path = m.export(tmp_path / "yolo11n.shlo", imgsz=160, batch=2, half=True, platforms=("cpu",))
+    assert path.exists() and (tmp_path / "yolo11n.shlo.json").exists()
+    call, meta = load_exported(path)
+    assert meta["nc"] == 80 and meta["max_det"] == 300
+
+    imgs = np.random.default_rng(0).random((2, 160, 160, 3), np.float32)
+    out = np.asarray(call(jnp.asarray(imgs)))
+    assert out.shape == (2, 300, 6)
+
+    params, state = fuse_tree(m.params, m.state)
+    cast = lambda t: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if np.issubdtype(np.asarray(x).dtype, np.floating) else x, t)
+    params, state = cast(params), cast(state)
+
+    def fn(images):
+        feats = m.model.apply(params, state, images.astype(jnp.bfloat16), train=False)
+        return nms_from_feats(feats, m.model.strides, m.model.nc, m.model.reg_max,
+                              conf_thres=0.25, iou_thres=0.7, max_det=300, max_cand=300, half=True)
+
+    ref = np.asarray(jax.jit(fn)(imgs))
+    np.testing.assert_array_equal(out, ref)

@@ -164,6 +164,19 @@ class YOLOLite:
         save_native(path, self.params, self.state, meta)
         return path
 
+    def export(self, path: Union[str, Path] = None, imgsz: int = 640, batch: int = 1,
+               half: bool = True, **kwargs):
+        """Export the fused predict graph (forward+decode+NMS, weights baked in)
+        as a serialized jax.export/StableHLO artifact for serving. See
+        runtime/export.py for the input/output contract; reload with
+        `yololite_tpu.runtime.load_exported(path)`."""
+        from yololite_tpu.runtime.export import export_predict
+
+        if path is None:
+            path = Path(self.ckpt_path).with_suffix(".shlo").name
+        return export_predict(self.model, self.params, self.state, path,
+                              imgsz=imgsz, batch=batch, half=half, **kwargs)
+
     def info(self, imgsz: int = 640):
         n = self.model.num_params(self.params)
         g = self.model.gflops(self.params, self.state, imgsz)
