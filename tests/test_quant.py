@@ -94,3 +94,34 @@ def test_predictor_int8_tensor_source_calibrates(tmp_path):
     results = pred(batch)
     assert pred._quantized  # tensor branch must calibrate, not silently skip
     assert len(results) == 2
+
+
+def test_int8_export_roundtrip(tmp_path):
+    """int8-quantized export artifact == in-process quantized graph, bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yololite_tpu import YOLOLite
+    from yololite_tpu.models.quant import quantize_model
+    from yololite_tpu.ops.nms import nms_from_feats
+    from yololite_tpu.runtime import load_exported
+
+    m = YOLOLite("yolo11n.yaml")
+    calib = [np.random.default_rng(1).random((2, 160, 160, 3), np.float32)]
+    p = m.export(tmp_path / "n_int8.shlo", imgsz=160, batch=2, platforms=("cpu",), int8_calib=calib)
+    call, meta = load_exported(p)
+    assert meta["int8"] is True
+
+    imgs = np.random.default_rng(0).random((2, 160, 160, 3), np.float32)
+    out = np.asarray(call(jnp.asarray(imgs)))
+
+    qp, qs, _ = quantize_model(m.model, m.params, m.state, calib)
+
+    def fn(images):
+        feats = m.model.apply(qp, qs, images.astype(jnp.bfloat16), train=False)
+        return nms_from_feats(feats, m.model.strides, m.model.nc, m.model.reg_max,
+                              conf_thres=0.25, iou_thres=0.7, max_det=300, max_cand=300, half=True)
+
+    ref = np.asarray(jax.jit(fn)(imgs))
+    np.testing.assert_array_equal(out, ref)

@@ -27,13 +27,19 @@ from yololite_tpu.utils import LOGGER
 def export_predict(model, params, state, path, imgsz: int = 640, batch: int = 1,
                    half: bool = True, fuse: bool = True, conf: float = 0.25,
                    iou: float = 0.7, max_det: int = 300,
-                   platforms: Tuple[str, ...] = ("cpu", "tpu")) -> Path:
+                   platforms: Tuple[str, ...] = ("cpu", "tpu"),
+                   int8_calib: Optional[list] = None) -> Path:
     """Serialize the fused predict graph with weights baked in.
 
     Contract: input is a normalized float32 NHWC batch (batch, imgsz, imgsz, 3)
     (letterbox + /255 on the host or via ops.pallas_kernels.device_letterbox);
     output is (batch, max_det, 6) xyxy+conf+cls rows in input-pixel space,
     zero-padded — identical to the predictor's in-process graph.
+
+    int8_calib: optional list of normalized NHWC float batches; when given the
+    graph is post-training-quantized on them first (w8a8, models/quant.py) and
+    the int8 weights are what gets baked in — the serving artifact for the
+    predictor's `int8=True` path.
     """
     import jax
     import jax.numpy as jnp
@@ -42,12 +48,17 @@ def export_predict(model, params, state, path, imgsz: int = 640, batch: int = 1,
     from yololite_tpu.models.modules import fuse_tree
     from yololite_tpu.ops.nms import nms_from_feats
 
-    if fuse:
-        params, state = fuse_tree(params, state)
-    if half:
-        cast = lambda t: jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16) if np.issubdtype(np.asarray(x).dtype, np.floating) else x, t)
-        params, state = cast(params), cast(state)
+    if int8_calib is not None:
+        from yololite_tpu.models.quant import quantize_model
+
+        params, state, _ = quantize_model(model, params, state, int8_calib)  # fuses + bf16 state
+    else:
+        if fuse:
+            params, state = fuse_tree(params, state)
+        if half:
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16) if np.issubdtype(np.asarray(x).dtype, np.floating) else x, t)
+            params, state = cast(params), cast(state)
     # the predictor's candidate-pool rule (engine/predictor.py)
     max_cand = max(256 if conf >= 0.25 else 512, max_det)
 
@@ -68,7 +79,7 @@ def export_predict(model, params, state, path, imgsz: int = 640, batch: int = 1,
     meta = {
         "format": "jax.export/stablehlo",
         "platforms": list(platforms),
-        "imgsz": imgsz, "batch": batch, "half": half,
+        "imgsz": imgsz, "batch": batch, "half": half, "int8": int8_calib is not None,
         "conf": conf, "iou": iou, "max_det": max_det,
         "nc": model.nc, "names": model.names,
         "input": f"float32[{batch},{imgsz},{imgsz},3] normalized NHWC",
