@@ -55,6 +55,14 @@ USE_S4D_STEM = False
 # (docs/PERF.md round-4 note). Off until measured faster on-chip.
 USE_FUSED_STEM_KERNEL = False
 
+# Detect-head shared input reads: concat each level's first reg conv with the
+# densified first cls depthwise conv into ONE dense 3x3 so the P3/P4/P5 input
+# maps are read from HBM once instead of twice (modules.Detect.fold_input_convs,
+# docs/PERF.md round-4 note — the densified dw adds real MACs, so this is a
+# measured trade). Exact up to f32 accumulation order; off until measured
+# faster on-chip.
+USE_FUSED_DETECT_INPUT = False
+
 
 class DetectionPredictor:
     """Holds the jitted inference graph and the streaming loop state."""
@@ -84,9 +92,15 @@ class DetectionPredictor:
         """Bind a DetectionModel + weight pytrees; build the fused jitted graph."""
         self.model = model
         if fuse:  # fold Conv+BN for inference (reference autobackend.py:34 fuse=True)
+            from yololite_tpu.models.modules import Detect as _Detect
             from yololite_tpu.models.modules import fuse_tree
 
             params, state = fuse_tree(params, state)
+            det = model.rows[-1].mod
+            det_key = str(len(model.rows) - 1)
+            if (USE_FUSED_DETECT_INPUT and not bool(self.args.int8)
+                    and type(det) is _Detect and det_key in params):
+                params = {**params, det_key: det.fold_input_convs(params[det_key])}
         half = self.args.half if half is None else half
         if half:
             cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)

@@ -730,10 +730,70 @@ class Detect(Module):
             params["cv3"] = cv3
         return params
 
+    def fold_input_convs(self, params):
+        """Concat each level's first reg conv (cv2[i][0], dense 3x3) with the
+        DENSIFIED first cls conv (cv3[i][0][0], depthwise 3x3) into one dense
+        3x3 producing c2+ci channels, so the level's input feature map is read
+        from HBM once instead of twice (docs/PERF.md round-4 note; the
+        reference head.py:29-44 keeps two separate branch reads).
+
+        Requires BN-folded params (fuse_tree). Exact up to f32 accumulation
+        order (the densified kernel is zero off its diagonal, but the dense
+        GEMM may sum the surviving products in a different order than the
+        grouped conv — same class of noise as the stem folds). Returns new params
+        with a 'fin' node per level consumed by __call__; the original cv2/cv3
+        level-0 conv params stay in place (dead weight, ~0.3% of the model) so
+        state_dict export and re-folding stay trivially correct.
+        """
+        fin = {}
+        for i in range(self.nl):
+            c2node = params["cv2"][str(i)]["0"]
+            dwnode = params["cv3"][str(i)]["0"]["0"]
+            if "bn" in c2node or "bn" in dwnode:
+                raise ValueError("fold_input_convs requires BN-folded params (run fuse_tree first)")
+            w2, b2 = c2node["conv"]["w"], c2node["conv"]["b"]
+            wd, bd = dwnode["conv"]["w"], dwnode["conv"]["b"]
+            ci = w2.shape[2]
+            if wd.shape != (3, 3, 1, ci) or w2.shape[:2] != (3, 3):
+                raise ValueError(f"unexpected Detect level-{i} input conv shapes: {w2.shape}, {wd.shape}")
+            idx = jnp.arange(ci)
+            dense = jnp.zeros((3, 3, ci, ci), wd.dtype).at[:, :, idx, idx].set(wd[:, :, 0, :])
+            fin[str(i)] = {
+                "w": jnp.concatenate([w2, dense], axis=-1),
+                "b": jnp.concatenate([b2, bd], axis=-1),
+            }
+        return {**params, "fin": fin}
+
+    @staticmethod
+    def _seq_tail(seq, params, state, x, ctx, path, start):
+        """Apply a Seq's children from index `start` (the fin path consumed child 0)."""
+        for j in range(start, len(seq.mods)):
+            sj = str(j)
+            x = seq.mods[j](params.get(sj, {}), state.get(sj, {}), x, ctx, path + (sj,))
+        return x
+
     def __call__(self, params, state, xs, ctx, path=()):
         outs = []
+        fin = params.get("fin") if isinstance(params, dict) else None
         for i, x in enumerate(xs):
-            box = self.sub["cv2"].apply_i(i, params["cv2"], state.get("cv2", {}), x, ctx, path + ("cv2",))
-            cls = self.sub["cv3"].apply_i(i, params["cv3"], state.get("cv3", {}), x, ctx, path + ("cv3",))
+            if fin is not None:
+                f = fin[str(i)]
+                y = jax.nn.silu(conv2d(x, f["w"], 1, 1) + f["b"].astype(x.dtype))
+                box_in, cls_in = y[..., : self.c2ch], y[..., self.c2ch :]
+                si = str(i)
+                p2i = params["cv2"][si]
+                s2i = state.get("cv2", {}).get(si, {})
+                box = self._seq_tail(self.sub["cv2"].mods[i], p2i, s2i, box_in, ctx,
+                                     path + ("cv2", si), 1)
+                p3i = params["cv3"][si]
+                s3i = state.get("cv3", {}).get(si, {})
+                inner = self.sub["cv3"].mods[i].mods[0]  # Seq(DWConv, Conv 1x1)
+                t = inner.mods[1](p3i["0"].get("1", {}), s3i.get("0", {}).get("1", {}),
+                                  cls_in, ctx, path + ("cv3", si, "0", "1"))
+                cls = self._seq_tail(self.sub["cv3"].mods[i], p3i, s3i, t, ctx,
+                                     path + ("cv3", si), 1)
+            else:
+                box = self.sub["cv2"].apply_i(i, params["cv2"], state.get("cv2", {}), x, ctx, path + ("cv2",))
+                cls = self.sub["cv3"].apply_i(i, params["cv3"], state.get("cv3", {}), x, ctx, path + ("cv3",))
             outs.append(jnp.concatenate([box, cls], axis=-1))
         return outs
