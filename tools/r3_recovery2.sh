@@ -16,6 +16,11 @@ timeout 2700 python tools/train_profile.py
 date
 timeout 2700 python tools/detect_fused_bench.py 128 16
 date
+# 4. Mosaic remote-compile workaround attempt: the fused-stem HTTP 500 carried
+#    "set env var TPU_WORKER_HOSTNAMES manually" -- try it (cheap; unlocks the
+#    ~3 ms stem fusion if the far-side compile helper just lacks the hostname)
+timeout 2700 env TPU_WORKER_HOSTNAMES=localhost python tools/fusedstem_probe.py
+date
 echo R3_RECOVERY2_DONE
 cp /tmp/r3_recovery2.log docs/r3_recovery2_results.log 2>/dev/null || true
 date
