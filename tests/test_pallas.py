@@ -265,6 +265,9 @@ def test_fused_stem_pallas_matches_s4d_apply():
     out = stem_s4d_apply_pallas(conv0, conv1, p0, p1, xs4, th=8, interpret=True)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # sumtap variant (no lane-dim concatenate): same math as sum of tap matmuls
+    out2 = stem_s4d_apply_pallas(conv0, conv1, p0, p1, xs4, th=8, interpret=True, sumtap=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-4)
 
 
 def test_fused_stem_pallas_single_band():
@@ -307,3 +310,5 @@ def test_fused_stem_pallas_shape_fuzz(hw, th):
     out = stem_s4d_apply_pallas(conv0, conv1, p0, p1, xs4, th=th, interpret=True)
     assert out.shape == ref.shape == (2, H4, W4, 32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    out2 = stem_s4d_apply_pallas(conv0, conv1, p0, p1, xs4, th=th, interpret=True, sumtap=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=1e-4)

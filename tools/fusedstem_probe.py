@@ -73,6 +73,11 @@ def main(bs=128, iters=20):
     for th in (20, 32, 40, 80):
         timed(f"fused_th{th}", lambda p, x, th=th: stem_s4d_apply_pallas(
             conv0, conv1, p["0"], p["1"], x, th=th, interpret=False))
+    # sumtap variant: no lane-dim concatenate (the op Mosaic rejected) — four
+    # tap matmuls summed instead of one im2col matmul per conv
+    for th in (20, 40, 80):
+        timed(f"sumtap_th{th}", lambda p, x, th=th: stem_s4d_apply_pallas(
+            conv0, conv1, p["0"], p["1"], x, th=th, interpret=False, sumtap=True))
 
 
 if __name__ == "__main__":

@@ -55,6 +55,12 @@ USE_S4D_STEM = False
 # (docs/PERF.md round-4 note). Off until measured faster on-chip.
 USE_FUSED_STEM_KERNEL = False
 
+# Kernel variant for USE_FUSED_STEM_KERNEL: sum-of-tap-matmuls instead of the
+# im2col lane concat (which Mosaic rejected on 48-lane-padded vregs — see
+# docs/PERF.md round-3 recovery table). Same math; ~2x MXU passes on the padded
+# narrow contractions, zero lane-dim concatenates.
+FUSED_STEM_SUMTAP = False
+
 # Detect-head shared input reads: concat each level's first reg conv with the
 # densified first cls depthwise conv into ONE dense 3x3 so the P3/P4/P5 input
 # maps are read from HBM once instead of twice (modules.Detect.fold_input_convs,
@@ -176,6 +182,14 @@ class DetectionPredictor:
         # snapshot at graph-build time like the flags above: a later flip must
         # not split one predictor's jit cache across stem implementations
         use_fused_stem = use_s4d and USE_FUSED_STEM_KERNEL
+        _fused_sumtap = bool(FUSED_STEM_SUMTAP)
+
+        def _s4d_fn():
+            from yololite_tpu.models.modules import stem_s4d_apply, stem_s4d_apply_pallas
+
+            if use_fused_stem:
+                return functools.partial(stem_s4d_apply_pallas, sumtap=_fused_sumtap)
+            return stem_s4d_apply
 
         # top-K candidate pool for the single-label predict path: 256 covers any
         # realistic above-conf count at the 0.25 default (measured sweep,
@@ -199,14 +213,12 @@ class DetectionPredictor:
             """s2d/s4d variant of the forward (flag-gated): relayout the
             letterboxed input to the space-to-depth grid and run the folded
             k2s1 stem conv(s)."""
-            from yololite_tpu.models.modules import (
-                s4d_relayout, stem_s2d_apply, stem_s4d_apply, stem_s4d_apply_pallas)
+            from yololite_tpu.models.modules import s4d_relayout, stem_s2d_apply
 
             b, hh, ww, cc = x.shape
             if use_s4d:
                 xs = s4d_relayout(x)
-                s4d_fn = stem_s4d_apply_pallas if use_fused_stem else stem_s4d_apply
-                y1 = s4d_fn(row0, model.rows[1].mod, params["0"], params["1"], xs)
+                y1 = _s4d_fn()(row0, model.rows[1].mod, params["0"], params["1"], xs)
                 return model.apply(params, state, y1, train=False, start=2)
             xs = x.reshape(b, hh // 2, 2, ww // 2, 2, cc)
             xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh // 2, ww // 2, 4 * cc)
@@ -254,8 +266,7 @@ class DetectionPredictor:
 
             if (use_s2d or use_s4d) and imgsz % _sdiv == 0:
                 # letterbox straight into the s2d/s4d layout; folded k2s1 stem
-                from yololite_tpu.models.modules import (
-                    stem_s2d_apply, stem_s4d_apply, stem_s4d_apply_pallas)
+                from yololite_tpu.models.modules import stem_s2d_apply
                 from yololite_tpu.ops.nms import nms_from_feats
                 from yololite_tpu.ops.pallas_kernels import (
                     device_letterbox_s2d, device_letterbox_s4d)
@@ -263,8 +274,7 @@ class DetectionPredictor:
                 dt = "bfloat16" if half else "float32"
                 if use_s4d:
                     xs = device_letterbox_s4d(raw_uint8, imgsz=imgsz, out_dtype_name=dt)
-                    s4d_fn = stem_s4d_apply_pallas if use_fused_stem else stem_s4d_apply
-                    y = s4d_fn(row0, model.rows[1].mod, params["0"], params["1"], xs)
+                    y = _s4d_fn()(row0, model.rows[1].mod, params["0"], params["1"], xs)
                     feats = model.apply(params, state, y, train=False, start=2)
                 else:
                     xs = device_letterbox_s2d(raw_uint8, imgsz=imgsz, out_dtype_name=dt)

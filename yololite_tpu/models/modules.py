@@ -334,7 +334,8 @@ def s4d_relayout(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def stem_s4d_apply_pallas(conv0: "Conv", conv1: "Conv", p0: Dict, p1: Dict,
-                          x_s4d: jnp.ndarray, th: int = 40, interpret=None) -> jnp.ndarray:
+                          x_s4d: jnp.ndarray, th: int = 40, interpret=None,
+                          sumtap: bool = False) -> jnp.ndarray:
     """stem_s4d_apply with both convs fused into one Pallas kernel (the conv0
     output never leaves VMEM — the only way to cut the stem's HBM traffic,
     docs/PERF.md round-4 note). SiLU is baked into the kernel, so both stem
@@ -346,7 +347,8 @@ def stem_s4d_apply_pallas(conv0: "Conv", conv1: "Conv", p0: Dict, p1: Dict,
     w0 = fold_stem_s4d(p0["conv"]["w"])
     b0 = jnp.tile(p0["conv"]["b"], 4)
     w1 = fold_stem_s2d(p1["conv"]["w"])
-    return fused_stem_s4d_pallas(x_s4d, w0, b0, w1, p1["conv"]["b"], th=th, interpret=interpret)
+    return fused_stem_s4d_pallas(x_s4d, w0, b0, w1, p1["conv"]["b"], th=th,
+                                 interpret=interpret, sumtap=sumtap)
 
 
 def stem_s2d_apply(conv: "Conv", params: Dict, x_s2d: jnp.ndarray) -> jnp.ndarray:

@@ -350,7 +350,7 @@ def decode_select_pallas(feats, strides, nc: int, reg_max: int = 16, conf_thres:
 
 
 def _fused_stem_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, z_ref, *, th: int, w4: int,
-                       wa: int, wb: int):
+                       wa: int, wb: int, sumtap: bool = False):
     """One row-band of the fused stem: two k2s1 convs with the intermediate in VMEM.
 
     x block: (1, H4+2, Wa+1, C0) zero-padded top/left by 2 and right-padded to
@@ -369,9 +369,18 @@ def _fused_stem_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, z_ref, *, th: int,
     Semantics note: conv1's zero padding applies to conv0's OUTPUT, so the
     y-halo entries at global row/col -1 are zeroed explicitly (computing them
     from the zero-padded x would give act(b0) != 0).
+
+    sumtap=True replaces each im2col concat+matmul with a SUM of four
+    tap-matmuls (tap_k @ w[k]): identical math (the concat contraction is block
+    -diagonal-free, so splitting the contraction is exact in fp32 accumulation
+    up to addition order), but no lane-dim `tpu.concatenate` — the op Mosaic
+    rejected on 48-lane-padded vregs (docs/PERF.md round-3 recovery table).
+    Costs ~2x MXU passes on the padded 48/64-wide contractions; the stem is
+    HBM-bound, so that trade is measured, not assumed (tools/fusedstem_probe).
     """
     i = pl.program_id(1)
     xs = x_ref[0, pl.ds(i * th, th + 2), :, :]  # (th+2, Wa+1, C0)
+    c0 = xs.shape[-1]
 
     # conv0': y[a, b] for band rows a in [0, th], cols b in [0, wa)
     #   global y row j = i*th - 1 + a, col c = b - 1 (valid through b = w4)
@@ -379,9 +388,15 @@ def _fused_stem_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, z_ref, *, th: int,
     t01 = xs[0:th + 1, 1:wa + 1, :]
     t10 = xs[1:th + 2, 0:wa, :]
     t11 = xs[1:th + 2, 1:wa + 1, :]
-    x4 = jnp.concatenate([t00, t01, t10, t11], axis=-1)  # (th+1, Wa, 4*C0)
-    c4 = x4.shape[-1]
-    y = jnp.dot(x4.reshape(-1, c4), w0_ref[:, :], preferred_element_type=jnp.float32)
+    if sumtap:
+        y = sum(
+            jnp.dot(t.reshape(-1, c0), w0_ref[k * c0:(k + 1) * c0, :],
+                    preferred_element_type=jnp.float32)
+            for k, t in enumerate((t00, t01, t10, t11)))
+    else:
+        x4 = jnp.concatenate([t00, t01, t10, t11], axis=-1)  # (th+1, Wa, 4*C0)
+        c4 = x4.shape[-1]
+        y = jnp.dot(x4.reshape(-1, c4), w0_ref[:, :], preferred_element_type=jnp.float32)
     y = y.reshape(th + 1, wa, -1) + b0_ref[0, :]
     y = y * jax.nn.sigmoid(y)  # SiLU
     # zero the conv1 padding: col b=0 is global col -1 (always); row a=0 is
@@ -389,16 +404,23 @@ def _fused_stem_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, z_ref, *, th: int,
     rows = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
     y = jnp.where((cols == 0) | ((rows == 0) & (i == 0)), 0.0, y)
-    y = y.astype(x4.dtype)
+    y = y.astype(xs.dtype)
 
     # conv1': z[zr, c] = act(b1 + sum taps y[zr+dy, c+dx]), valid c < w4
     u00 = y[0:th, 0:wb, :]
     u01 = y[0:th, 1:wb + 1, :]
     u10 = y[1:th + 1, 0:wb, :]
     u11 = y[1:th + 1, 1:wb + 1, :]
-    y4 = jnp.concatenate([u00, u01, u10, u11], axis=-1)  # (th, wb, 4*C1)
-    c1 = y4.shape[-1]
-    z = jnp.dot(y4.reshape(-1, c1), w1_ref[:, :], preferred_element_type=jnp.float32)
+    cy = y.shape[-1]
+    if sumtap:
+        z = sum(
+            jnp.dot(u.reshape(-1, cy), w1_ref[k * cy:(k + 1) * cy, :],
+                    preferred_element_type=jnp.float32)
+            for k, u in enumerate((u00, u01, u10, u11)))
+    else:
+        y4 = jnp.concatenate([u00, u01, u10, u11], axis=-1)  # (th, wb, 4*C1)
+        c1 = y4.shape[-1]
+        z = jnp.dot(y4.reshape(-1, c1), w1_ref[:, :], preferred_element_type=jnp.float32)
     z = z.reshape(th, wb, -1) + b1_ref[0, :]
     z = z * jax.nn.sigmoid(z)
     z_ref[0, :, :, :] = z[:, :w4, :].astype(z_ref.dtype)
@@ -406,7 +428,8 @@ def _fused_stem_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, z_ref, *, th: int,
 
 def fused_stem_s4d_pallas(x_s4d: jnp.ndarray, w0: jnp.ndarray, b0: jnp.ndarray,
                           w1: jnp.ndarray, b1: jnp.ndarray, th: int = 40,
-                          interpret: Optional[bool] = None) -> jnp.ndarray:
+                          interpret: Optional[bool] = None,
+                          sumtap: bool = False) -> jnp.ndarray:
     """Fused stem on the 4x4 space-to-depth layout: both k3s2 stem convs as one
     Pallas kernel, the conv0 output staying in VMEM (XLA never fuses two convs;
     the L0 output write+read is ~838 MB/batch at bs=128 -- docs/PERF.md round-3
@@ -437,7 +460,7 @@ def fused_stem_s4d_pallas(x_s4d: jnp.ndarray, w0: jnp.ndarray, b0: jnp.ndarray,
     # top/left halo of 2 for the two convs; right slack out to the tap width
     xp = jnp.pad(x_s4d, ((0, 0), (2, 0), (2, wa + 1 - (W4 + 2)), (0, 0)))
 
-    kernel = functools.partial(_fused_stem_kernel, th=th, w4=W4, wa=wa, wb=wb)
+    kernel = functools.partial(_fused_stem_kernel, th=th, w4=W4, wa=wa, wb=wb, sumtap=sumtap)
     return pl.pallas_call(
         kernel,
         grid=(B, nb),
