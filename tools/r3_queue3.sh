@@ -23,6 +23,10 @@ date
 #    ~3 ms stem fusion if the far-side compile helper just lacks the hostname)
 timeout 2700 env TPU_WORKER_HOSTNAMES=localhost python tools/fusedstem_probe.py
 date
+# 2b. if any fused/sumtap variant compiled above, confirm at e2e level (the
+#     probe times the stem in isolation; the flip decision needs whole-graph)
+timeout 3600 env TPU_WORKER_HOSTNAMES=localhost python tools/s2d_bench.py
+date
 # 3. clean headline rerun on a quiet host (r3_recovery.sh stage 6's serve and
 #    m-int8 numbers were depressed by concurrent CPU-side work)
 timeout 4500 python bench.py

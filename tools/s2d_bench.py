@@ -80,24 +80,32 @@ def main(bs=128, iters=16):
         out, _ = jax.lax.scan(body, salt, None, length=iters)
         return out
 
-    @jax.jit
-    def run_s4d_fused(params, state, raw, salt):
-        def body(c, _):
-            xs = device_letterbox_s4d(raw + c.astype(raw.dtype), imgsz=640, out_dtype_name="bfloat16")
-            y1 = stem_s4d_apply_pallas(model.rows[0].mod, model.rows[1].mod, params["0"], params["1"], xs)
-            feats = model.apply(params, state, y1, train=False, start=2)
-            dets = nms_from_feats(feats, model.strides, model.nc, model.reg_max, **nms_kw)
-            return (jnp.sum(dets) * 1e-12).astype(jnp.float32), None
+    def make_run_fused(sumtap):
+        @jax.jit
+        def run(params, state, raw, salt):
+            def body(c, _):
+                xs = device_letterbox_s4d(raw + c.astype(raw.dtype), imgsz=640, out_dtype_name="bfloat16")
+                y1 = stem_s4d_apply_pallas(model.rows[0].mod, model.rows[1].mod,
+                                           params["0"], params["1"], xs, sumtap=sumtap)
+                feats = model.apply(params, state, y1, train=False, start=2)
+                dets = nms_from_feats(feats, model.strides, model.nc, model.reg_max, **nms_kw)
+                return (jnp.sum(dets) * 1e-12).astype(jnp.float32), None
 
-        out, _ = jax.lax.scan(body, salt, None, length=iters)
-        return out
+            out, _ = jax.lax.scan(body, salt, None, length=iters)
+            return out
+
+        return run
+
+    run_s4d_fused = make_run_fused(False)
+    run_s4d_fused_sumtap = make_run_fused(True)
 
     rng = np.random.default_rng(0)
     for shape in ((640, 640), (480, 640)):
         raw = jax.device_put(jnp.asarray(rng.integers(0, 255, (bs, *shape, 3)), jnp.uint8))
         rates = {}
         for name, fn in (("default", run_default), ("s2d", run_s2d), ("s4d", run_s4d),
-                         ("s4d_fused", run_s4d_fused)):
+                         ("s4d_fused", run_s4d_fused),
+                         ("s4d_fused_sumtap", run_s4d_fused_sumtap)):
             try:
                 t0 = time.perf_counter()
                 float(fn(params, state, raw, jnp.float32(0)))
@@ -111,7 +119,7 @@ def main(bs=128, iters=16):
                 print(f"{shape} {name}: {best:.1f} img/s", flush=True)
             except Exception as e:
                 print(f"{shape} {name}: {type(e).__name__}: {e}", flush=True)
-        for k in ("s2d", "s4d", "s4d_fused"):
+        for k in ("s2d", "s4d", "s4d_fused", "s4d_fused_sumtap"):
             if k in rates and "default" in rates:
                 print(f"{shape}: {k}/default = {rates[k] / rates['default']:.3f}x", flush=True)
 
