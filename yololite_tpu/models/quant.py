@@ -73,7 +73,6 @@ def quantize_tree(model, fused_params: Dict, scales: Dict) -> Dict:
       - the Conv feeding a bf16 island loses its output requant (`sout` absent)
     """
     s_act = float(scales["s_act"])
-    per_path = scales.get("per_path", {})
 
     def conv_sin(path) -> float:
         # One global activation scale for every int8 edge, by design: YOLO's
