@@ -513,3 +513,54 @@ def test_predict_fused_detect_input_flag_matches_default(fake_pt):
     a, b = ref.boxes.data, out.boxes.data
     assert a.shape == b.shape and len(a) > 0
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-3)
+
+
+def test_single_pt_multi_member_ensemble(fake_pt, tmp_path):
+    """A single .pt holding a pickled multi-member reference Ensemble loads every
+    member and predicts via pre-NMS concat (reference tasks.py:448-459)."""
+    pt, tm = fake_pt
+    import torch
+
+    from tests.test_model_parity import _build_reference_model
+    from yololite.nn.tasks import Ensemble as TorchEnsemble
+
+    m2 = _build_reference_model("n")
+    with torch.no_grad():  # decorrelate from tm (builder seeds both identically)
+        for p in m2.parameters():
+            p.add_(0.01 * torch.randn_like(p))
+    m2.args = {"imgsz": 640}
+    m2.names = {i: f"c{i}" for i in range(80)}
+    ens_t = TorchEnsemble()
+    ens_t.append(tm)
+    ens_t.append(m2)
+    pt2 = tmp_path / "pair.pt"
+    torch.save({"model": ens_t, "train_args": {"imgsz": 640}}, str(pt2))
+
+    from yololite_tpu.models.checkpoint import load_pt
+    from yololite_tpu.models.model import EnsembleModel
+
+    model, params, state, meta = load_pt(str(pt2))
+    assert isinstance(model, EnsembleModel) and len(model.members) == 2
+    # member order and weights preserved
+    w0 = np.asarray(params["m0"]["0"]["conv"]["w"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(w0, tm.state_dict()["model.0.conv.weight"].numpy(), atol=1e-6)
+    w1 = np.asarray(params["m1"]["0"]["conv"]["w"]).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(w1, m2.state_dict()["model.0.conv.weight"].numpy(), atol=1e-6)
+
+    # decode_concat = per-member decode concatenated along anchors
+    from yololite_tpu.ops.decode import decode_detections
+
+    x = jnp.asarray(np.random.default_rng(0).random((1, 160, 160, 3), np.float32))
+    boxes, scores = model.decode_concat(params, state, x)
+    b0, s0 = decode_detections(
+        model.members[0].apply(params["m0"], state["m0"], x), model.strides, model.nc)
+    assert boxes.shape[1] == 2 * b0.shape[1]
+    np.testing.assert_allclose(np.asarray(boxes[:, : b0.shape[1]]), np.asarray(b0), rtol=1e-5, atol=1e-5)
+
+    # end-to-end through the public API (predictor builds the ensemble graph)
+    from yololite_tpu import YOLOLite
+
+    y = YOLOLite(str(pt2))
+    img = np.random.default_rng(1).integers(0, 255, (200, 320, 3), np.uint8)
+    results = y.predict([img], conf=1e-7, verbose=False, save=False, imgsz=160)
+    assert len(results) == 1 and len(results[0].boxes) > 0

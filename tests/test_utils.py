@@ -539,3 +539,38 @@ def test_simpleclass_and_env_sniffers(tmp_path):
         with pytest.raises(ValueError, match="batch<1"):
             select_device(",".join(str(i) for i in range(n)), batch=0, verbose=False)
         assert len(select_device("0,1", batch=4, verbose=False)) == 2
+
+
+def test_unicode_image_io(tmp_path):
+    """utils/patches imread/imwrite round-trip through non-ASCII paths.
+
+    Counterpart of reference utils/patches.py:14-46 (imdecode/np.fromfile route
+    around cv2's C-side fopen); Components #33.
+    """
+    import numpy as np
+
+    from yololite_tpu.utils.patches import imread, imwrite
+
+    img = np.zeros((8, 10, 3), np.uint8)
+    img[2:5, 3:7] = (0, 128, 255)
+    p = tmp_path / "图片_测试_ünïcode.png"
+    assert imwrite(p, img)
+    back = imread(p)
+    assert back is not None and back.shape == (8, 10, 3)
+    assert np.array_equal(back, img)  # png is lossless
+
+    # contract parity with cv2.imread: None on missing / undecodable input
+    assert imread(tmp_path / "missing_不存在.png") is None
+    bad = tmp_path / "bad_坏.png"
+    bad.write_bytes(b"not an image")
+    assert imread(bad) is None
+    empty = tmp_path / "empty_空.png"
+    empty.write_bytes(b"")
+    assert imread(empty) is None
+    # imwrite returns False instead of raising on a bad target
+    assert not imwrite(tmp_path / "no_dir_目录" / "x.png", img)
+
+    # the dataset loader path consumes imread through load_image
+    from yololite_tpu.utils.patches import imshow  # import-time sanity only
+
+    assert callable(imshow)

@@ -22,6 +22,7 @@ import numpy as np
 from yololite_tpu.data.augment import Compose, Format, LetterBox, v8_transforms
 from yololite_tpu.data.utils import IMG_FORMATS, get_hash, img2label_paths, verify_image_label
 from yololite_tpu.utils import LOGGER, IterableSimpleNamespace
+from yololite_tpu.utils.patches import imread
 from yololite_tpu.utils.instance import Instances
 
 DATASET_CACHE_VERSION = "tpu-1.0"
@@ -190,7 +191,7 @@ class YOLODataset:
     def load_image(self, i: int, rect_mode: bool = True):
         im = self.ims[i]
         if im is None:
-            im = cv2.imread(self.im_files[i])
+            im = imread(self.im_files[i])  # unicode-safe (utils/patches.py)
             if im is None:
                 raise FileNotFoundError(f"image not found {self.im_files[i]}")
             h0, w0 = im.shape[:2]

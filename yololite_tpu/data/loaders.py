@@ -20,6 +20,7 @@ import cv2
 import numpy as np
 
 from yololite_tpu.utils import LOGGER
+from yololite_tpu.utils.patches import imread
 
 IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm", "heic"}
 VID_FORMATS = {"asf", "avi", "gif", "m4v", "mkv", "mov", "mp4", "mpeg", "mpg", "ts", "wmv", "webm"}
@@ -103,7 +104,7 @@ class LoadImagesAndVideos:
                 imgs.append(frame)
                 infos.append(f"video {self.count + 1}/{self.nf} frame {self.frame}/{self.frames} {path}: ")
             else:
-                im = cv2.imread(path)  # BGR
+                im = imread(path)  # BGR, unicode-safe (utils/patches.py)
                 self.count += 1
                 if im is None:
                     raise FileNotFoundError(f"image read failure {path}")
@@ -305,8 +306,8 @@ def autocast_list(source):
     out = []
     for im in source if isinstance(source, (list, tuple)) else [source]:
         if isinstance(im, (str, Path)):
-            arr = cv2.imread(str(im))
-            if arr is None:  # cv2.imread returns None instead of raising
+            arr = imread(str(im))
+            if arr is None:  # imread returns None instead of raising
                 raise FileNotFoundError(f"image read failure: {im}")
             out.append(arr)
         else:

@@ -97,16 +97,20 @@ class DetectionPredictor:
     def setup_model(self, model, params, state, half: Optional[bool] = None, fuse: bool = True):
         """Bind a DetectionModel + weight pytrees; build the fused jitted graph."""
         self.model = model
+        from yololite_tpu.models.model import EnsembleModel
+
+        is_ens = isinstance(model, EnsembleModel)
         if fuse:  # fold Conv+BN for inference (reference autobackend.py:34 fuse=True)
             from yololite_tpu.models.modules import Detect as _Detect
             from yololite_tpu.models.modules import fuse_tree
 
             params, state = fuse_tree(params, state)
-            det = model.rows[-1].mod
-            det_key = str(len(model.rows) - 1)
-            if (USE_FUSED_DETECT_INPUT and not bool(self.args.int8)
-                    and type(det) is _Detect and det_key in params):
-                params = {**params, det_key: det.fold_input_convs(params[det_key])}
+            if not is_ens:
+                det = model.rows[-1].mod
+                det_key = str(len(model.rows) - 1)
+                if (USE_FUSED_DETECT_INPUT and not bool(self.args.int8)
+                        and type(det) is _Detect and det_key in params):
+                    params = {**params, det_key: det.fold_input_convs(params[det_key])}
         half = self.args.half if half is None else half
         if half:
             cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
@@ -131,6 +135,8 @@ class DetectionPredictor:
             class_mask = jnp.asarray(cm)
 
         def _forward_decode(params, state, x):
+            if is_ens:  # members' decoded outputs concat along the anchor axis
+                return model.decode_concat(params, state, x, half=half)
             feats = model.apply(params, state, x, train=False)
             if not half:  # half path keeps bf16 scores through decode+NMS (boxes fp32)
                 feats = [f.astype(jnp.float32) for f in feats]
@@ -162,7 +168,7 @@ class DetectionPredictor:
         # over the Detect maps. Off by default: the first kernel measured slower
         # than XLA's fused reductions on v5e (VPU-pass-bound, docs/PERF.md);
         # flip USE_FUSED_DECODE when a measured win lands.
-        use_fused = USE_FUSED_DECODE and not augment and class_mask is None
+        use_fused = USE_FUSED_DECODE and not augment and class_mask is None and not is_ens
 
         # s2d stem gate: layer 0 must be a plain fused k3s2 Conv whose output
         # no later row taps, and the weights must stay float (the int8 swap
@@ -175,8 +181,8 @@ class DetectionPredictor:
                     and m.g == 1 and m.act is True and i not in model.save
                     and "bn" not in params.get(str(i), {}))
 
-        _stem_ok = (not use_fused and not augment and not bool(self.args.int8))
-        row0 = model.rows[0].mod
+        _stem_ok = (not use_fused and not augment and not bool(self.args.int8) and not is_ens)
+        row0 = model.rows[0].mod if not is_ens else None
         use_s4d = USE_S4D_STEM and _stem_ok and _plain_stem_conv(0) and _plain_stem_conv(1)
         use_s2d = (USE_S2D_STEM and not use_s4d and _stem_ok and _plain_stem_conv(0))
         # snapshot at graph-build time like the flags above: a later flip must
@@ -202,6 +208,12 @@ class DetectionPredictor:
             """Non-TTA predict graph: fused select-first NMS over the raw maps."""
             from yololite_tpu.ops.nms import nms_from_feats
 
+            if is_ens:  # ensemble: decode-all concat pre-NMS (reference tasks.py:448-459)
+                boxes, scores = model.decode_concat(params, state, x, half=half)
+                return non_max_suppression(
+                    boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det,
+                    max_cand=512, multi_label=False, agnostic=agnostic, class_mask=class_mask,
+                )
             feats = model.apply(params, state, x, train=False)
             return nms_from_feats(
                 feats, strides, nc, reg_max, conf_thres=conf, iou_thres=iou,
@@ -320,6 +332,12 @@ class DetectionPredictor:
         at n-scale the narrow convs are layout-bound and int8 is neutral.
         """
         if not bool(self.args.int8) or self._quantized:
+            return
+        from yololite_tpu.models.model import EnsembleModel
+
+        if isinstance(self.model, EnsembleModel):
+            LOGGER.warning("int8 serving is not supported for ensembles; running bf16/fp32")
+            self._quantized = True  # don't re-warn per batch
             return
         from yololite_tpu.ops.letterbox import preprocess_batch
 

@@ -178,9 +178,9 @@ class Results(SimpleClass):
 
     def save(self, filename=None):
         filename = filename or f"results_{Path(self.path).stem}.jpg"
-        import cv2
+        from yololite_tpu.utils.patches import imwrite
 
-        cv2.imwrite(str(filename), self.plot())
+        imwrite(str(filename), self.plot())
         return filename
 
     def verbose(self) -> str:

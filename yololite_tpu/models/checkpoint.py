@@ -21,7 +21,7 @@ import pickle
 import zipfile
 from pathlib import Path
 from types import SimpleNamespace
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -90,14 +90,9 @@ def _walk_module(obj, prefix="") -> Dict[str, np.ndarray]:
     return out
 
 
-def _unwrap_ensemble(net, path):
-    """Unwrap a reference `Ensemble` (nn.ModuleList of models, tasks.py:448-497).
-
-    `attempt_load_weights` returns ensemble[-1] for a single entry; for multiple
-    entries the reference averages forwards — true multi-model voting is out of
-    scope here, so we take the last member and warn (the reference does the same
-    for single-model ensembles, which is the only layout it ships).
-    """
+def _ensemble_members(net, path):
+    """Member list of a reference `Ensemble` (nn.ModuleList of models,
+    tasks.py:448-459), or None if `net` is a plain model."""
     d = getattr(net, "__dict__", {})
     mods = d.get("_modules") or {}
     own_params = d.get("_parameters") or {}
@@ -105,13 +100,8 @@ def _unwrap_ensemble(net, path):
         members = [m for m in mods.values() if m is not None]
         if not members:
             raise ValueError(f"checkpoint {path}: empty Ensemble")
-        if len(members) > 1:
-            LOGGER.warning(
-                f"checkpoint {path}: Ensemble of {len(members)} models; "
-                "multi-model voting is not supported — using the last member"
-            )
-        return members[-1]
-    return net
+        return members
+    return None
 
 
 def _sd_is_fused(sd: Dict[str, np.ndarray]) -> bool:
@@ -121,19 +111,8 @@ def _sd_is_fused(sd: Dict[str, np.ndarray]) -> bool:
     return has_conv_bias and not has_bn
 
 
-def read_pt_checkpoint(path) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
-    """Read a reference .pt checkpoint -> (state_dict, meta).
-
-    meta keys: 'yaml' (arch dict if present), 'args' (train args dict), 'names',
-    'scale', 'nc', 'epoch', 'best_fitness'.
-    """
-    ckpt = _torch_load_stubbed(str(path))
-    if not isinstance(ckpt, dict):
-        ckpt = {"model": ckpt}
-    net = ckpt.get("ema") or ckpt.get("model")  # EMA preferred (reference tasks.py:503)
-    if net is None:
-        raise ValueError(f"checkpoint {path} has no 'model' or 'ema' entry")
-    net = _unwrap_ensemble(net, path)
+def _net_sd_meta(net, ckpt, path) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
+    """Extract (state_dict, meta) from one unpickled model object."""
     sd = _walk_module(net)
     # strip the outer DetectionModel 'model.' prefix
     sd = {k[len("model."):] if k.startswith("model.") else k: v for k, v in sd.items()}
@@ -153,6 +132,31 @@ def read_pt_checkpoint(path) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
     if meta["nc"] is None and meta["names"]:
         meta["nc"] = len(meta["names"])
     return sd, meta
+
+
+def read_pt_members(path) -> List[Tuple[Dict[str, np.ndarray], Dict[str, Any]]]:
+    """Read a reference .pt checkpoint -> [(state_dict, meta), ...] per model.
+
+    A plain checkpoint yields one entry; a multi-member `Ensemble` (reference
+    tasks.py:448-459) yields one entry per member, in ensemble order.
+    """
+    ckpt = _torch_load_stubbed(str(path))
+    if not isinstance(ckpt, dict):
+        ckpt = {"model": ckpt}
+    net = ckpt.get("ema") or ckpt.get("model")  # EMA preferred (reference tasks.py:503)
+    if net is None:
+        raise ValueError(f"checkpoint {path} has no 'model' or 'ema' entry")
+    members = _ensemble_members(net, path) or [net]
+    return [_net_sd_meta(m, ckpt, path) for m in members]
+
+
+def read_pt_checkpoint(path) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
+    """Read a reference .pt checkpoint -> (state_dict, meta) of the (last) model.
+
+    meta keys: 'yaml' (arch dict if present), 'args' (train args dict), 'names',
+    'scale', 'nc', 'epoch', 'best_fitness'.
+    """
+    return read_pt_members(path)[-1]
 
 
 def _navigate(tree: Dict, parts):
@@ -301,16 +305,38 @@ def load_pt(path, nc: Optional[int] = None) -> Tuple[DetectionModel, Dict, Dict,
     dataset), the transfer switches to intersect semantics: shape-matching
     leaves load, the class head keeps its fresh init (reference tasks.py:197-210).
     """
-    sd, meta = read_pt_checkpoint(path)
-    scale = meta.get("scale") or "n"
-    cfg = f"yolo11{scale}.yaml"
-    model = DetectionModel(cfg, nc=nc or meta.get("nc"))
-    if meta.get("names") and len(meta["names"]) == model.nc:
-        model.names = meta["names"]
-    model.args = meta.get("args", {})
-    strict = nc is None or meta.get("nc") in (None, nc)
-    params, state = state_dict_to_pytree(sd, model, strict=strict)
-    return model, params, state, meta
+    members = read_pt_members(path)
+
+    def build_one(sd, meta):
+        scale = meta.get("scale") or "n"
+        model = DetectionModel(f"yolo11{scale}.yaml", nc=nc or meta.get("nc"))
+        if meta.get("names") and len(meta["names"]) == model.nc:
+            model.names = meta["names"]
+        model.args = meta.get("args", {})
+        strict = nc is None or meta.get("nc") in (None, nc)
+        p, s = state_dict_to_pytree(sd, model, strict=strict)
+        return model, p, s
+
+    if len(members) == 1:
+        sd, meta = members[0]
+        model, params, state = build_one(sd, meta)
+        return model, params, state, meta
+
+    # multi-member Ensemble: every member loads; forwards concatenate pre-NMS
+    # (reference tasks.py:448-459 `torch.cat(y, 2)` — the "NMS ensemble")
+    from yololite_tpu.models.model import EnsembleModel
+
+    models, ptree, stree = [], {}, {}
+    for i, (sd, meta_i) in enumerate(members):
+        m, p, s = build_one(sd, meta_i)
+        models.append(m)
+        ptree[f"m{i}"] = p
+        stree[f"m{i}"] = s
+    ens = EnsembleModel(models)
+    meta = members[-1][1]
+    ens.args = meta.get("args", {})
+    LOGGER.info(f"checkpoint {path}: loaded Ensemble of {len(models)} models (pre-NMS concat)")
+    return ens, ptree, stree, meta
 
 
 def pytree_to_state_dict(params: Dict, state: Dict, prefix: str = "model.") -> Dict[str, np.ndarray]:

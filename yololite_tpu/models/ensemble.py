@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 
 from yololite_tpu.models.checkpoint import attempt_load_one_weight
-from yololite_tpu.ops.decode import decode_detections
 from yololite_tpu.ops.nms import non_max_suppression
 from yololite_tpu.utils import LOGGER
 
@@ -34,14 +33,12 @@ class Ensemble:
 
     def decode(self, images: jnp.ndarray):
         """Run every member, concat (boxes, scores) along anchors."""
-        all_boxes, all_scores = [], []
-        for model, params, state in self.members:
-            feats = model.apply(params, state, images, train=False)
-            feats = [f.astype(jnp.float32) for f in feats]
-            b, s = decode_detections(feats, model.strides, model.nc, model.reg_max, xywh=False)
-            all_boxes.append(b)
-            all_scores.append(s)
-        return jnp.concatenate(all_boxes, axis=1), jnp.concatenate(all_scores, axis=1)
+        from yololite_tpu.models.model import EnsembleModel
+
+        em = EnsembleModel([m for m, _, _ in self.members])
+        params = {f"m{i}": p for i, (_, p, _) in enumerate(self.members)}
+        state = {f"m{i}": s for i, (_, _, s) in enumerate(self.members)}
+        return em.decode_concat(params, state, images, half=False)
 
     def __call__(self, images, conf_thres=0.25, iou_thres=0.45, max_det=300):
         boxes, scores = self.decode(images)

@@ -405,6 +405,53 @@ class DetectionModel:
         return float(flops) / 1e9
 
 
+class EnsembleModel:
+    """Multi-model NMS ensemble (reference nn/tasks.py:448-459).
+
+    Members run independently on the same input; their decoded (boxes, scores)
+    concatenate along the anchor axis pre-NMS — the TPU-native form of the
+    reference Ensemble.forward's `torch.cat(y, 2)` over (B, C, HW) outputs.
+    Parameter/state trees are keyed "m0", "m1", ... per member, so fuse_tree /
+    dtype casts / mesh replication treat the ensemble as one pytree.
+    """
+
+    def __init__(self, members: Sequence["DetectionModel"]):
+        if not members:
+            raise ValueError("EnsembleModel needs at least one member")
+        ncs = {m.nc for m in members}
+        if len(ncs) != 1:
+            raise ValueError(f"ensemble members disagree on class count: {sorted(ncs)}")
+        self.members: List[DetectionModel] = list(members)
+        last = self.members[-1]
+        self.nc = last.nc
+        self.reg_max = last.reg_max
+        self.strides = last.strides
+        self.names = last.names
+        self.args: Dict = {}
+
+    def decode_concat(self, params, state, x, half: bool = False):
+        """x NHWC -> (boxes (B, sum_A, 4) fp32 xyxy, scores (B, sum_A, nc)).
+
+        Shared by the predictor's ensemble graph; feeds non_max_suppression
+        exactly like the single-model decode-all path.
+        """
+        from yololite_tpu.ops.decode import decode_detections
+
+        all_boxes, all_scores = [], []
+        for i, m in enumerate(self.members):
+            key = f"m{i}"
+            feats = m.apply(params[key], state.get(key, {}), x, train=False)
+            if not half:
+                feats = [f.astype(jnp.float32) for f in feats]
+            boxes, scores = decode_detections(feats, m.strides, m.nc, m.reg_max, xywh=False)
+            all_boxes.append(boxes.astype(jnp.float32))
+            all_scores.append(scores)
+        return jnp.concatenate(all_boxes, axis=1), jnp.concatenate(all_scores, axis=1)
+
+    def num_params(self, params) -> int:
+        return count_params(params)
+
+
 def guess_model_task(model) -> str:
     """Task of a model/spec: this framework is detection-only (reference tasks.py:701-703)."""
     return "detect"

@@ -216,7 +216,9 @@ class Annotator:
         Image.fromarray(np.asarray(self.im)[..., ::-1]).show(title=title)
 
     def save(self, filename="image.jpg"):
-        self.cv2.imwrite(str(filename), np.asarray(self.im))
+        from yololite_tpu.utils.patches import imwrite
+
+        imwrite(str(filename), np.asarray(self.im))
 
     @staticmethod
     def get_bbox_dimension(bbox):
@@ -350,7 +352,9 @@ def plot_images(images: np.ndarray, batch_idx, cls, bboxes, paths=None, fname="b
             name = (names or {}).get(int(k), str(int(k)))
             ann.box_label(box, name, color=colors(int(k), True))
     Path(fname).parent.mkdir(parents=True, exist_ok=True)
-    cv2.imwrite(str(fname), ann.result())
+    from yololite_tpu.utils.patches import imwrite
+
+    imwrite(str(fname), ann.result())
 
 
 def plot_results(csv_file="results.csv", dir_=""):
