@@ -110,3 +110,29 @@ def test_build_targets_truncation_warns(caplog):
         LOGGER.propagate = False
     assert t["mask_gt"].sum() == 8
     assert any("max_gt" in r.message for r in caplog.records)
+
+
+def test_bce_sum_custom_vjp_matches_autodiff():
+    """bce_sum: forward == sum(optax_sigmoid_bce) exactly; backward == autodiff
+    in fp32; on the amp (bf16-logits) path the gradient is emitted in bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from yololite_tpu.utils.loss import bce_sum, optax_sigmoid_bce
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((4, 50, 7)) * 3, jnp.float32)
+    labels = jnp.asarray(rng.random((4, 50, 7)), jnp.float32)
+
+    f_ref = lambda x: optax_sigmoid_bce(x, labels).sum()
+    f_new = lambda x: bce_sum(x, labels)
+    np.testing.assert_allclose(float(f_new(logits)), float(f_ref(logits)), rtol=1e-6)
+    g_ref = jax.grad(f_ref)(logits)
+    g_new = jax.grad(f_new)(logits)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
+
+    lb16 = logits.astype(jnp.bfloat16)
+    g16 = jax.grad(lambda x: bce_sum(x, labels))(lb16)
+    assert g16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(g16, np.float32), np.asarray(g_ref),
+                               rtol=0.05, atol=0.05)

@@ -147,15 +147,17 @@ def test_letterbox_geometry_vs_reference_math():
     assert (col[:16] == 114).all() and (col[-16:] == 114).all()
 
 
-def test_nms_serve_mode_runs():
-    """Serve mode (approx top-k + fast suppression) returns a valid padded tensor."""
+def test_nms_fast_mode_runs():
+    """Fast mode (one-shot matrix NMS) returns a valid padded tensor.
+    (The former 'serve' mode was deleted in round 4 after losing to exact
+    greedy at every batch size — docs/r4_latency_results.log.)"""
     rng = np.random.default_rng(4)
     boxes = rng.uniform(0, 600, (2, 400, 4)).astype(np.float32)
     boxes[..., 2:] = boxes[..., :2] + rng.uniform(5, 50, (2, 400, 2))
     scores = (rng.random((2, 400, 3)) ** 4).astype(np.float32)
     out = np.asarray(
         non_max_suppression(jnp.asarray(boxes), jnp.asarray(scores), conf_thres=0.2, iou_thres=0.5,
-                            max_det=50, max_cand=128, mode="serve")
+                            max_det=50, max_cand=128, mode="fast")
     )
     assert out.shape == (2, 50, 6)
     got = out[out[..., 4] > 0]
@@ -318,9 +320,9 @@ def test_fixpoint_chunked_matches_scan_fuzz():
     np.testing.assert_array_equal(fix, seq)
 
 
-def test_nms_large_k_fixpoint_mode_matches_scan():
-    """non_max_suppression's large-K branch under LARGE_K_MODE='fixpoint' must
-    emit identical detections to the default scan mode (multi-label val path)."""
+def test_nms_large_k_modes_emit_identical_detections():
+    """non_max_suppression's large-K strategies ('blocked' default, 'fixpoint',
+    'scan') must emit identical detections (multi-label val path)."""
     from yololite_tpu.ops import nms as nms_mod
 
     rng = np.random.default_rng(11)
@@ -331,16 +333,17 @@ def test_nms_large_k_fixpoint_mode_matches_scan():
     scores = rng.random((1, a, nc)).astype(np.float32) ** 4
     kw = dict(conf_thres=0.001, iou_thres=0.7, max_det=300, max_cand=2048, multi_label=True)
 
+    assert nms_mod.LARGE_K_MODE == "blocked"
     ref = np.asarray(non_max_suppression(jnp.asarray(boxes), jnp.asarray(scores), **kw))
-    assert nms_mod.LARGE_K_MODE == "scan"
     try:
-        nms_mod.LARGE_K_MODE = "fixpoint"
-        non_max_suppression.clear_cache()
-        out = np.asarray(non_max_suppression(jnp.asarray(boxes), jnp.asarray(scores), **kw))
+        for mode in ("fixpoint", "scan"):
+            nms_mod.LARGE_K_MODE = mode
+            non_max_suppression.clear_cache()
+            out = np.asarray(non_max_suppression(jnp.asarray(boxes), jnp.asarray(scores), **kw))
+            np.testing.assert_array_equal(out, ref, err_msg=mode)
     finally:
-        nms_mod.LARGE_K_MODE = "scan"
+        nms_mod.LARGE_K_MODE = "blocked"
         non_max_suppression.clear_cache()
-    np.testing.assert_array_equal(out, ref)
     assert (out[..., 4] > 0).sum() > 10  # non-trivial scene
 
 
@@ -360,3 +363,75 @@ def test_nms_from_feats_large_k_scan_fallback():
     out = np.asarray(nms_from_feats(feats, strides, nc, reg_max, **kw))
     np.testing.assert_allclose(out[..., 4:], ref[..., 4:], rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(out[..., :4], ref[..., :4], atol=1e-3)
+
+
+def test_nms_from_feats_multilabel_matches_decode_then_nms():
+    """Fused multi-label select-first == decode_detections +
+    non_max_suppression(multi_label=True), tie order included (the validator
+    pipeline, VERDICT r3 #5)."""
+    import jax.numpy as jnp
+
+    from yololite_tpu.ops.decode import decode_detections
+    from yololite_tpu.ops.nms import nms_from_feats, non_max_suppression
+
+    nc, reg_max, strides = 8, 16, (8, 16, 32)
+    B = 3
+    rng = np.random.default_rng(7)
+    feats = [
+        jnp.asarray(rng.standard_normal((B, s, s, 4 * reg_max + nc)).astype(np.float32) * 2)
+        for s in (16, 8, 4)
+    ]
+    # validator shape: low conf gate, large candidate pool, multi-label
+    kw = dict(conf_thres=0.01, iou_thres=0.5, max_det=60, max_cand=512)
+    boxes, scores = decode_detections(feats, strides, nc, reg_max, xywh=False)
+    ref = np.asarray(non_max_suppression(boxes, scores, multi_label=True, **kw))
+    out = np.asarray(nms_from_feats(feats, strides, nc, reg_max, multi_label=True, **kw))
+    np.testing.assert_allclose(out[..., 4:], ref[..., 4:], rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(out[..., :4], ref[..., :4], atol=1e-3)
+    # multi-label must emit multiple classes for the same anchor when both pass
+    assert len(np.unique(ref[ref[..., 4] > 0][:, 5])) > 1
+
+
+def test_blocked_keep_matches_serial_greedy():
+    """_blocked_keep (block fixpoint + cross-suppression) is bit-identical to
+    the serial greedy scan, including adversarial alternating chains that
+    straddle block boundaries."""
+    import jax
+    import jax.numpy as jnp
+
+    from yololite_tpu.ops.nms import _blocked_keep, _greedy_keep
+
+    rng = np.random.default_rng(11)
+    K, B = 512, 2
+
+    def ref_keep(shifted, valid):
+        return np.asarray(jax.vmap(
+            lambda s, v: _greedy_keep(s, v, iou_thres=0.5))(shifted, valid))
+
+    # random clusters
+    centers = rng.uniform(0, 400, (B, K, 2))
+    wh = rng.uniform(10, 60, (B, K, 2))
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1).astype(np.float32)
+    valid = rng.random((B, K)) > 0.1
+    got = np.asarray(_blocked_keep(jnp.asarray(boxes), jnp.asarray(valid), 0.5, block=128))
+    np.testing.assert_array_equal(got, ref_keep(jnp.asarray(boxes), jnp.asarray(valid)))
+
+    # adversarial overlapping chain: box i overlaps i+1 heavily (IoU 14/26 =
+    # 0.54 > 0.5) but not i+2 (8/32 = 0.25), so greedy keeps alternating
+    # members; the chain crosses every block boundary
+    xs = np.arange(K, dtype=np.float32) * 6.0
+    chain = np.stack([xs, np.zeros(K, np.float32), xs + 20.0, np.full(K, 20.0, np.float32)], -1)
+    chain_b = np.broadcast_to(chain, (B, K, 4)).copy()
+    valid_all = np.ones((B, K), bool)
+    got2 = np.asarray(_blocked_keep(jnp.asarray(chain_b), jnp.asarray(valid_all), 0.5, block=128))
+    ref2 = ref_keep(jnp.asarray(chain_b), jnp.asarray(valid_all))
+    np.testing.assert_array_equal(got2, ref2)
+    assert got2[0].sum() > 0 and not got2[0].all()
+
+    # fully-dead tail: everything beyond the first block suppressed or invalid
+    one = np.tile(np.array([[0, 0, 100, 100]], np.float32), (K, 1))
+    one_b = np.broadcast_to(one, (B, K, 4)).copy()
+    got3 = np.asarray(_blocked_keep(jnp.asarray(one_b), jnp.asarray(valid_all), 0.5, block=128))
+    ref3 = ref_keep(jnp.asarray(one_b), jnp.asarray(valid_all))
+    np.testing.assert_array_equal(got3, ref3)
+    assert got3.sum() == B  # exactly one survivor per image

@@ -329,30 +329,6 @@ def test_predict_visualize_feature_maps(fake_pt, tmp_path):
     assert pngs, "feature visualization should write stage PNGs"
 
 
-def test_predict_s2d_stem_flag_matches_default(fake_pt):
-    """USE_S2D_STEM end-to-end through the public API: same detections as the
-    default graph (the folded stem differs only in f32 accumulation order)."""
-    import yololite_tpu.engine.predictor as pred_mod
-    from yololite_tpu import YOLOLite
-
-    pt, _ = fake_pt
-    img = np.asarray(
-        np.random.default_rng(2).integers(0, 255, (200, 320, 3)), np.uint8
-    )
-    m = YOLOLite(pt)
-    ref = m.predict([img], conf=1e-4, verbose=False, save=False, imgsz=192)[0]
-    assert pred_mod.USE_S2D_STEM is False
-    try:
-        pred_mod.USE_S2D_STEM = True
-        m2 = YOLOLite(pt)
-        out = m2.predict([img], conf=1e-4, verbose=False, save=False, imgsz=192)[0]
-    finally:
-        pred_mod.USE_S2D_STEM = False
-    a, b = ref.boxes.data, out.boxes.data
-    assert a.shape == b.shape and len(a) > 0
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-3)
-
-
 def test_predict_rect_imgsz(fake_pt):
     """Non-square imgsz [h, w] flows through letterbox, forward and NMS with
     correct per-level (h, w) grids and boxes inside the original image."""
@@ -366,56 +342,6 @@ def test_predict_rect_imgsz(fake_pt):
     xyxy = np.asarray(r.boxes.xyxy)
     assert (xyxy[:, 0] >= 0).all() and (xyxy[:, 2] <= 400).all()
     assert (xyxy[:, 1] >= 0).all() and (xyxy[:, 3] <= 300).all()
-
-
-def test_predict_s4d_stem_flag_matches_default(fake_pt):
-    """USE_S4D_STEM end-to-end through the public API: same detections as the
-    default graph (both stem convs folded onto the 4x4 s2d layout)."""
-    import yololite_tpu.engine.predictor as pred_mod
-    from yololite_tpu import YOLOLite
-
-    pt, _ = fake_pt
-    img = np.asarray(
-        np.random.default_rng(4).integers(0, 255, (210, 330, 3)), np.uint8
-    )
-    m = YOLOLite(pt)
-    ref = m.predict([img], conf=1e-4, verbose=False, save=False, imgsz=192)[0]
-    assert pred_mod.USE_S4D_STEM is False
-    try:
-        pred_mod.USE_S4D_STEM = True
-        m2 = YOLOLite(pt)
-        out = m2.predict([img], conf=1e-4, verbose=False, save=False, imgsz=192)[0]
-    finally:
-        pred_mod.USE_S4D_STEM = False
-    a, b = ref.boxes.data, out.boxes.data
-    assert a.shape == b.shape and len(a) > 0
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-3)
-
-
-def test_predict_fused_stem_kernel_flag_matches_default(fake_pt):
-    """USE_S4D_STEM + USE_FUSED_STEM_KERNEL end-to-end through the public API
-    (Pallas fused stem, interpret mode on CPU): same detections as default."""
-    import yololite_tpu.engine.predictor as pred_mod
-    from yololite_tpu import YOLOLite
-
-    pt, _ = fake_pt
-    img = np.asarray(
-        np.random.default_rng(5).integers(0, 255, (210, 330, 3)), np.uint8
-    )
-    m = YOLOLite(pt)
-    ref = m.predict([img], conf=1e-4, verbose=False, save=False, imgsz=192)[0]
-    assert pred_mod.USE_FUSED_STEM_KERNEL is False
-    try:
-        pred_mod.USE_S4D_STEM = True
-        pred_mod.USE_FUSED_STEM_KERNEL = True
-        m2 = YOLOLite(pt)
-        out = m2.predict([img], conf=1e-4, verbose=False, save=False, imgsz=192)[0]
-    finally:
-        pred_mod.USE_S4D_STEM = False
-        pred_mod.USE_FUSED_STEM_KERNEL = False
-    a, b = ref.boxes.data, out.boxes.data
-    assert a.shape == b.shape and len(a) > 0
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-3)
 
 
 def test_export_predict_roundtrip(tmp_path):
@@ -454,65 +380,6 @@ def test_export_predict_roundtrip(tmp_path):
 
     ref = np.asarray(jax.jit(fn)(imgs))
     np.testing.assert_array_equal(out, ref)
-
-
-def test_detect_fold_input_convs_exact():
-    """Detect.fold_input_convs: the concat dense+densified-dw input conv equals
-    the two separate branch reads up to f32 accumulation order (docs/PERF.md
-    round-4 lever)."""
-    import jax
-    from yololite_tpu.models.modules import Detect, fuse_tree
-
-    from yololite_tpu.models import modules as M
-
-    det = Detect(nc=7, ch=(32, 64, 128))
-    params, state = det.init(M.KeyGen(11))
-    params, state = fuse_tree(params, state)
-    folded = det.fold_input_convs(params)
-    rng = np.random.default_rng(0)
-    xs = [jnp.asarray(rng.standard_normal((2, s, s, c), np.float32))
-          for s, c in ((16, 32), (8, 64), (4, 128))]
-
-    class _Ctx:
-        train = False
-        calibrate = False
-
-    ref = det(params, state, xs, _Ctx())
-    out = det(folded, state, xs, _Ctx())
-    for a, b in zip(ref, out):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4)
-    # bf16 path (the predict half path): rounding at bf16 output precision
-    cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
-    ref16 = det(cast(params), state, [x.astype(jnp.bfloat16) for x in xs], _Ctx())
-    out16 = det(cast(folded), state, [x.astype(jnp.bfloat16) for x in xs], _Ctx())
-    for a, b in zip(ref16, out16):
-        np.testing.assert_allclose(
-            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=0.05, atol=0.05
-        )
-
-
-def test_predict_fused_detect_input_flag_matches_default(fake_pt):
-    """USE_FUSED_DETECT_INPUT end-to-end through the public API: same
-    detections (the fold differs only in f32 accumulation order)."""
-    import yololite_tpu.engine.predictor as pred_mod
-    from yololite_tpu import YOLOLite
-
-    pt, _ = fake_pt
-    img = np.asarray(
-        np.random.default_rng(7).integers(0, 255, (210, 330, 3)), np.uint8
-    )
-    m = YOLOLite(pt)
-    ref = m.predict([img], conf=1e-4, verbose=False, save=False, imgsz=192)[0]
-    assert pred_mod.USE_FUSED_DETECT_INPUT is False
-    try:
-        pred_mod.USE_FUSED_DETECT_INPUT = True
-        m2 = YOLOLite(pt)
-        out = m2.predict([img], conf=1e-4, verbose=False, save=False, imgsz=192)[0]
-    finally:
-        pred_mod.USE_FUSED_DETECT_INPUT = False
-    a, b = ref.boxes.data, out.boxes.data
-    assert a.shape == b.shape and len(a) > 0
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-3)
 
 
 def test_single_pt_multi_member_ensemble(fake_pt, tmp_path):

@@ -156,7 +156,9 @@ class YOLOLite:
     def save(self, path: Union[str, Path]):
         """Save weights to the native .npz format."""
         meta = {
-            "cfg": f"yolo11{self.model.yaml.get('scale', 'n')}.yaml",
+            # full yaml dict, not a stock-name guess: a custom architecture must
+            # reload as itself (json-safe; DetectionModel accepts dicts)
+            "cfg": dict(self.model.yaml),
             "nc": self.model.nc,
             "names": self.model.names,
             "args": self.overrides,

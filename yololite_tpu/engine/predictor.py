@@ -32,42 +32,14 @@ from yololite_tpu.utils.checks import check_imgsz
 from yololite_tpu.utils.profile import Profile
 
 
-# Fused Pallas decode+select for the predict path: measured slower than XLA's
-# own fused reductions on v5e so far (docs/PERF.md); flip when a win lands.
-USE_FUSED_DECODE = False
-
-# Space-to-depth stem for the device-preproc predict path: the letterbox emits
-# the (S/2, S/2, 12) s2d layout directly and layer 0 runs as a folded k2s1 conv
-# (modules.fold_stem_s2d), so the (S, S, 3) worst-tiling layout never exists.
-# Exactness-tested; default off until measured faster on-chip (docs/PERF.md
-# round-3 "next levers"). Read at graph-build time (setup_model).
-USE_S2D_STEM = False
-
-# 4x4 variant: the letterbox emits (S/4, S/4, 48) and BOTH stem convs run as
-# folded k2s1 convs with wide contractions (48->64 s2d-out, then 64->c2), so
-# neither the (S, S, 3) nor the (S/2, S/2, c1) narrow layout ever exists
-# (modules.fold_stem_s4d). Takes precedence over USE_S2D_STEM when both set.
-USE_S4D_STEM = False
-
-# With USE_S4D_STEM: run both folded stem convs as ONE Pallas kernel with the
-# conv0 output held in VMEM (modules.stem_s4d_apply_pallas) instead of two XLA
-# convs — the only formulation that removes the L0 output's HBM write+read
-# (docs/PERF.md round-4 note). Off until measured faster on-chip.
-USE_FUSED_STEM_KERNEL = False
-
-# Kernel variant for USE_FUSED_STEM_KERNEL: sum-of-tap-matmuls instead of the
-# im2col lane concat (which Mosaic rejected on 48-lane-padded vregs — see
-# docs/PERF.md round-3 recovery table). Same math; ~2x MXU passes on the padded
-# narrow contractions, zero lane-dim concatenates.
-FUSED_STEM_SUMTAP = False
-
-# Detect-head shared input reads: concat each level's first reg conv with the
-# densified first cls depthwise conv into ONE dense 3x3 so the P3/P4/P5 input
-# maps are read from HBM once instead of twice (modules.Detect.fold_input_convs,
-# docs/PERF.md round-4 note — the densified dw adds real MACs, so this is a
-# measured trade). Exact up to f32 accumulation order; off until measured
-# faster on-chip.
-USE_FUSED_DETECT_INPUT = False
+# NOTE on deleted perf levers (flip-or-delete discipline, docs/PERF.md round 4):
+# a fused Pallas decode+select, s2d/s4d space-to-depth stem relayouts, a fused
+# two-conv stem kernel (both im2col-concat and sum-of-taps variants), and a
+# Detect shared-input-read fold were each implemented, exactness-tested, and
+# measured SLOWER than the plain XLA graph on v5e (decode: VPU-pass-bound;
+# s2d 0.90x / s4d 0.92x e2e; fused stem 13.7 vs 2.7 ms/batch — MXU lane
+# padding on the 48/64-wide contractions; detect fold 0.949x). Measurements:
+# docs/r4_queue1_results.log + docs/PERF.md. The code was removed, not gated.
 
 
 class DetectionPredictor:
@@ -101,16 +73,9 @@ class DetectionPredictor:
 
         is_ens = isinstance(model, EnsembleModel)
         if fuse:  # fold Conv+BN for inference (reference autobackend.py:34 fuse=True)
-            from yololite_tpu.models.modules import Detect as _Detect
             from yololite_tpu.models.modules import fuse_tree
 
             params, state = fuse_tree(params, state)
-            if not is_ens:
-                det = model.rows[-1].mod
-                det_key = str(len(model.rows) - 1)
-                if (USE_FUSED_DETECT_INPUT and not bool(self.args.int8)
-                        and type(det) is _Detect and det_key in params):
-                    params = {**params, det_key: det.fold_input_convs(params[det_key])}
         half = self.args.half if half is None else half
         if half:
             cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t)
@@ -164,38 +129,10 @@ class DetectionPredictor:
                 outs.append((boxes, scores))
             return jnp.concatenate([o[0] for o in outs], 1), jnp.concatenate([o[1] for o in outs], 1)
 
-        # fused Pallas decode+select path (ops/nms.fused_decode_nms): one pass
-        # over the Detect maps. Off by default: the first kernel measured slower
-        # than XLA's fused reductions on v5e (VPU-pass-bound, docs/PERF.md);
-        # flip USE_FUSED_DECODE when a measured win lands.
-        use_fused = USE_FUSED_DECODE and not augment and class_mask is None and not is_ens
-
-        # s2d stem gate: layer 0 must be a plain fused k3s2 Conv whose output
-        # no later row taps, and the weights must stay float (the int8 swap
-        # rewrites layer-0 params after this graph is built)
-        from yololite_tpu.models.modules import Conv as _Conv
-
-        def _plain_stem_conv(i):
-            m = model.rows[i].mod
-            return (isinstance(m, _Conv) and m.k == 3 and m.downsample == 2
-                    and m.g == 1 and m.act is True and i not in model.save
-                    and "bn" not in params.get(str(i), {}))
-
-        _stem_ok = (not use_fused and not augment and not bool(self.args.int8) and not is_ens)
-        row0 = model.rows[0].mod if not is_ens else None
-        use_s4d = USE_S4D_STEM and _stem_ok and _plain_stem_conv(0) and _plain_stem_conv(1)
-        use_s2d = (USE_S2D_STEM and not use_s4d and _stem_ok and _plain_stem_conv(0))
-        # snapshot at graph-build time like the flags above: a later flip must
-        # not split one predictor's jit cache across stem implementations
-        use_fused_stem = use_s4d and USE_FUSED_STEM_KERNEL
-        _fused_sumtap = bool(FUSED_STEM_SUMTAP)
-
-        def _s4d_fn():
-            from yololite_tpu.models.modules import stem_s4d_apply, stem_s4d_apply_pallas
-
-            if use_fused_stem:
-                return functools.partial(stem_s4d_apply_pallas, sumtap=_fused_sumtap)
-            return stem_s4d_apply
+        # NMS-free end2end heads (Detect end2end=True): inference decodes the
+        # one2one maps and takes a plain top-k — no suppression pass at all
+        # (reference head.py:91-93 forward_end2end -> postprocess)
+        end2end = bool(getattr(model.detect, "end2end", False)) if not is_ens else False
 
         # top-K candidate pool for the single-label predict path: 256 covers any
         # realistic above-conf count at the 0.25 default (measured sweep,
@@ -215,51 +152,23 @@ class DetectionPredictor:
                     max_cand=512, multi_label=False, agnostic=agnostic, class_mask=class_mask,
                 )
             feats = model.apply(params, state, x, train=False)
+            if end2end:
+                from yololite_tpu.ops.decode import postprocess_end2end
+
+                return postprocess_end2end(
+                    feats["one2one"], strides, nc, reg_max,
+                    max_det=min(max_det, model.detect.max_det), conf_thres=conf,
+                )
             return nms_from_feats(
                 feats, strides, nc, reg_max, conf_thres=conf, iou_thres=iou,
                 max_det=max_det, max_cand=pred_max_cand, agnostic=agnostic,
                 class_mask=class_mask, half=half,
             )
 
-        def _maybe_s2d_feats(params, state, x):
-            """s2d/s4d variant of the forward (flag-gated): relayout the
-            letterboxed input to the space-to-depth grid and run the folded
-            k2s1 stem conv(s)."""
-            from yololite_tpu.models.modules import s4d_relayout, stem_s2d_apply
-
-            b, hh, ww, cc = x.shape
-            if use_s4d:
-                xs = s4d_relayout(x)
-                y1 = _s4d_fn()(row0, model.rows[1].mod, params["0"], params["1"], xs)
-                return model.apply(params, state, y1, train=False, start=2)
-            xs = x.reshape(b, hh // 2, 2, ww // 2, 2, cc)
-            xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh // 2, ww // 2, 4 * cc)
-            y0 = stem_s2d_apply(row0, params["0"], xs)
-            return model.apply(params, state, y0, train=False, start=1)
-
-        _sdiv = 4 if use_s4d else 2
-
         @jax.jit
         def _infer(params, state, images):
             x = images.astype(jnp.bfloat16) if half else images
-            if (use_s2d or use_s4d) and x.shape[1] % _sdiv == 0 and x.shape[2] % _sdiv == 0:
-                from yololite_tpu.ops.nms import nms_from_feats
-
-                feats = _maybe_s2d_feats(params, state, x)
-                return nms_from_feats(
-                    feats, strides, nc, reg_max, conf_thres=conf, iou_thres=iou,
-                    max_det=max_det, max_cand=pred_max_cand, agnostic=agnostic,
-                    class_mask=class_mask, half=half,
-                )
-            if use_fused:
-                from yololite_tpu.ops.nms import fused_decode_nms
-
-                feats = model.apply(params, state, x, train=False)
-                return fused_decode_nms(
-                    feats, strides, nc, reg_max, conf_thres=conf, iou_thres=iou,
-                    max_det=max_det, max_cand=512, agnostic=agnostic,
-                )
-            if not augment:
+            if not augment or end2end:  # end2end: no TTA (one2one top-k is the whole tail)
                 return _single_label(params, state, x)
             boxes, scores = _forward_tta(params, state, x)
             return non_max_suppression(
@@ -276,37 +185,8 @@ class DetectionPredictor:
             """
             from yololite_tpu.ops.pallas_kernels import device_letterbox
 
-            if (use_s2d or use_s4d) and imgsz % _sdiv == 0:
-                # letterbox straight into the s2d/s4d layout; folded k2s1 stem
-                from yololite_tpu.models.modules import stem_s2d_apply
-                from yololite_tpu.ops.nms import nms_from_feats
-                from yololite_tpu.ops.pallas_kernels import (
-                    device_letterbox_s2d, device_letterbox_s4d)
-
-                dt = "bfloat16" if half else "float32"
-                if use_s4d:
-                    xs = device_letterbox_s4d(raw_uint8, imgsz=imgsz, out_dtype_name=dt)
-                    y = _s4d_fn()(row0, model.rows[1].mod, params["0"], params["1"], xs)
-                    feats = model.apply(params, state, y, train=False, start=2)
-                else:
-                    xs = device_letterbox_s2d(raw_uint8, imgsz=imgsz, out_dtype_name=dt)
-                    y = stem_s2d_apply(row0, params["0"], xs)
-                    feats = model.apply(params, state, y, train=False, start=1)
-                return nms_from_feats(
-                    feats, strides, nc, reg_max, conf_thres=conf, iou_thres=iou,
-                    max_det=max_det, max_cand=pred_max_cand, agnostic=agnostic,
-                    class_mask=class_mask, half=half,
-                )
             x = device_letterbox(raw_uint8, imgsz=imgsz, out_dtype_name="bfloat16" if half else "float32")
-            if use_fused:
-                from yololite_tpu.ops.nms import fused_decode_nms
-
-                feats = model.apply(params, state, x, train=False)
-                return fused_decode_nms(
-                    feats, strides, nc, reg_max, conf_thres=conf, iou_thres=iou,
-                    max_det=max_det, max_cand=512, agnostic=agnostic,
-                )
-            if not augment:
+            if not augment or end2end:
                 return _single_label(params, state, x)
             boxes, scores = _forward_tta(params, state, x)
             return non_max_suppression(

@@ -191,8 +191,10 @@ class DetectionTrainer:
                 self.model = DetectionModel(cfg, nc=self.data["nc"])
                 self.params, self.state = self.model.init(self.args.seed)
         if self.model.nc != self.data["nc"]:
-            # rebuild the head for a different class count, keeping backbone weights
-            model2 = DetectionModel(f"yolo11{self.model.yaml.get('scale', 'n')}.yaml", nc=self.data["nc"])
+            # rebuild the head for a different class count, keeping backbone
+            # weights — from the model's OWN yaml dict, not a stock yolo11 file
+            # (a custom architecture must survive the nc swap)
+            model2 = DetectionModel(dict(self.model.yaml), nc=self.data["nc"])
             p2, s2 = model2.init(self.args.seed)
             for k in self.params:
                 if k != str(model2.rows[-1].i):
@@ -247,7 +249,14 @@ class DetectionTrainer:
         self.stopper = EarlyStopping(patience=self.args.patience)
 
         self.freeze_mask = self._build_freeze_mask()
-        self.loss_fn = v8DetectionLoss(self.model.nc, self.model.strides, self.model.reg_max, hyp=self.args)
+        if getattr(self.model.detect, "end2end", False):
+            # end2end heads train the one2many + one2one branch pair
+            # (reference tasks.py init_criterion -> E2EDetectLoss, loss.py:162)
+            from yololite_tpu.utils.loss import E2EDetectLoss
+
+            self.loss_fn = E2EDetectLoss(self.model.nc, self.model.strides, self.model.reg_max, hyp=self.args)
+        else:
+            self.loss_fn = v8DetectionLoss(self.model.nc, self.model.strides, self.model.reg_max, hyp=self.args)
         self._build_step()
         if self._resume_blob is not None:
             self.resume_training(self._resume_blob)
@@ -577,7 +586,9 @@ class DetectionTrainer:
             "epoch": epoch,
             "best_fitness": float(self.best_fitness) if self.best_fitness is not None else None,
             "ema_updates": self.ema.updates,
-            "cfg": f"yolo11{self.model.yaml.get('scale', 'n')}.yaml",
+            # full yaml dict, not a stock-name guess: a custom architecture must
+            # reload as itself (json-safe; DetectionModel accepts dicts)
+            "cfg": dict(self.model.yaml),
             "nc": self.model.nc,
             "names": self.model.names,
             "args": {k: v for k, v in vars(self.args).items() if not isinstance(v, Path)},

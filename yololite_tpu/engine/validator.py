@@ -22,8 +22,6 @@ from yololite_tpu.cfg import get_cfg, get_save_dir
 from yololite_tpu.data.dataset import build_dataloader, build_yolo_dataset
 from yololite_tpu.data.utils import check_det_dataset
 from yololite_tpu.ops.boxes import scale_boxes_np, xywh2xyxy
-from yololite_tpu.ops.decode import decode_detections
-from yololite_tpu.ops.nms import non_max_suppression
 from yololite_tpu.utils import LOGGER, TQDM, colorstr
 from yololite_tpu.utils.checks import check_imgsz
 from yololite_tpu.utils.metrics import ConfusionMatrix, DetMetrics, box_iou
@@ -54,6 +52,8 @@ class DetectionValidator:
         nc, strides, reg_max = model.nc, model.strides, model.reg_max
         conf, iou, max_det = float(self.args.conf), float(self.args.iou), int(self.args.max_det)
 
+        end2end = bool(getattr(model.detect, "end2end", False))
+
         @jax.jit
         def _infer(params, state, images):
             x = images
@@ -61,11 +61,26 @@ class DetectionValidator:
                 x = x.astype(jnp.float32) / 255.0
             x = x.astype(jnp.bfloat16) if half else x
             feats = model.apply(params, state, x, train=False)
+            if end2end:  # one2one top-k select; no NMS (reference head.py:91-93)
+                from yololite_tpu.ops.decode import postprocess_end2end
+
+                o2o = [f.astype(jnp.float32) for f in feats["one2one"]]
+                return postprocess_end2end(
+                    o2o, strides, nc, reg_max,
+                    max_det=min(max_det, model.detect.max_det), conf_thres=conf,
+                )
+            # fused multi-label select-first pipeline (round 4): per-level
+            # (anchor x class) gate + top-k, narrow decode gathers, blocked
+            # exact-greedy suppression — same semantics (tie order included) as
+            # decode_detections + non_max_suppression(multi_label=True), which
+            # decoded all 8,400 anchors and ran a 256-step serial scan at K=8192
+            from yololite_tpu.ops.nms import nms_from_feats
+
             feats = [f.astype(jnp.float32) for f in feats]
-            boxes, scores = decode_detections(feats, strides, nc, reg_max, xywh=False)
-            return non_max_suppression(
-                boxes, scores, conf_thres=conf, iou_thres=iou, max_det=max_det,
-                max_cand=8192, multi_label=True, agnostic=bool(self.args.single_cls),
+            return nms_from_feats(
+                feats, strides, nc, reg_max, conf_thres=conf, iou_thres=iou,
+                max_det=max_det, max_cand=8192, multi_label=True,
+                agnostic=bool(self.args.single_cls),
             )
 
         return _infer

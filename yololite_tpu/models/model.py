@@ -202,7 +202,10 @@ def parse_spec(d: Dict, ch_in: int = 3, verbose: bool = False) -> Tuple[List[Row
             margs = args
         elif kind == "detect":
             in_ch = [ch[x] for x in f]
-            mod = cls(nc, in_ch)
+            # optional second yaml arg flips the NMS-free one-to-one branch pair
+            # (reference head.py:22 `end2end` class attr, set by v10-style heads)
+            e2e = bool(args[1]) if len(args) > 1 else False
+            mod = cls(nc, in_ch, end2end=e2e)
             mod.stride = [_check_stride(spatial[x], x) for x in f]
             detect_strides = mod.stride
             c2 = 0

@@ -239,132 +239,13 @@ def fuse_tree(params: Dict, state: Dict):
     return new_p, new_s
 
 
-def fold_stem_s2d(w: jnp.ndarray) -> jnp.ndarray:
-    """Fold a k3s2 stem kernel onto the 2x2 space-to-depth input layout.
-
-    w: (3, 3, C_in, C_out) HWIO -> (2, 2, 4*C_in, C_out) for a k2s1 conv with
-    asymmetric padding ((1, 0), (1, 0)) over the s2d grid of
-    device_letterbox_s2d (channel layout (dy*2+dx)*C_in + c). Exact identity:
-    original output row i reads input rows 2i-1..2i+1, which live in s2d
-    blocks i-1 (odd row) and i (both rows) — kernel tap dy0 in {0,1,2} maps to
-    (block, intra-row) = {0:(0,1), 1:(1,0), 2:(1,1)}; block position (0,0)
-    never occurs and stays zero. Same math in x. Output spatial size
-    (S/2 + 1) - 2 + 1 = S/2 matches the strided original.
-    """
-    kh, kw, ci, co = w.shape
-    if (kh, kw) != (3, 3):
-        raise ValueError(f"s2d fold expects a 3x3 kernel, got {(kh, kw)}")
-    pos = {0: (0, 1), 1: (1, 0), 2: (1, 1)}  # kernel tap -> (block idx, intra-block)
-    w2 = jnp.zeros((2, 2, 4 * ci, co), w.dtype)
-    for dy0 in range(3):
-        bi, dy = pos[dy0]
-        for dx0 in range(3):
-            bj, dx = pos[dx0]
-            ch = (dy * 2 + dx) * ci
-            w2 = w2.at[bi, bj, ch:ch + ci].set(w[dy0, dx0])
-    return w2
-
-
-def fold_stem_s4d(w: jnp.ndarray) -> jnp.ndarray:
-    """Fold a k3s2 stem kernel into s4d-in / s2d-out form.
-
-    w: (3, 3, C, O) HWIO -> (2, 2, 16*C, 4*O) for a k2s1 conv with padding
-    ((1, 0), (1, 0)) over the 4x4 space-to-depth grid (s2d applied twice:
-    input channel ((dy2*2+dx2)*4 + (dy1*2+dx1))*C + c holds original pixel
-    (4i + 2*dy2 + dy1, 4j + 2*dx2 + dx1); output channel (dy*2+dx)*O + o holds
-    conv-output pixel (2i+dy, 2j+dx), i.e. the s2d layout fold_stem_s2d's
-    consumer expects). Derivation: s2d-output row (i, dy) = conv row 2i+dy
-    reads original rows 4i+2dy-1..4i+2dy+1; with input block row i-1+bi
-    holding rows 4(i-1+bi)+ry, the kernel tap is t = 4*bi - 4 + ry - 2*dy,
-    kept only when t is in {-1, 0, 1} (zero otherwise). Exact identity.
-    """
-    kh, kw, ci, co = w.shape
-    if (kh, kw) != (3, 3):
-        raise ValueError(f"s4d fold expects a 3x3 kernel, got {(kh, kw)}")
-    w4 = jnp.zeros((2, 2, 16 * ci, 4 * co), w.dtype)  # trace-safe (static slices)
-    for bi in range(2):
-        for bj in range(2):
-            for ry in range(4):
-                for rx in range(4):
-                    for dy in range(2):
-                        for dx in range(2):
-                            ty = 4 * bi - 4 + ry - 2 * dy
-                            tx = 4 * bj - 4 + rx - 2 * dx
-                            if ty in (-1, 0, 1) and tx in (-1, 0, 1):
-                                cin = ((ry // 2) * 2 + rx // 2) * 4 + (ry % 2) * 2 + rx % 2
-                                q = (dy * 2 + dx) * co
-                                w4 = w4.at[bi, bj, cin * ci:(cin + 1) * ci,
-                                           q:q + co].set(w[ty + 1, tx + 1])
-    return w4
-
-
-def stem_s4d_apply(conv0: "Conv", conv1: "Conv", p0: Dict, p1: Dict,
-                   x_s4d: jnp.ndarray) -> jnp.ndarray:
-    """Run fused layers 0+1 (both k3 s2 p1 g1 Conv) on the 4x4 s2d layout.
-
-    x_s4d: (B, S/4, S/4, 48) from device_letterbox_s4d. Layer 0 runs in
-    s4d-in/s2d-out folded form (fold_stem_s4d), SiLU applies to the permuted
-    layout unchanged (elementwise), and layer 1 consumes the s2d intermediate
-    via fold_stem_s2d — every conv is k2s1 with a wide (48/64-channel)
-    contraction, and the (S, S, 3) / (S/2, S/2, 16) worst-tiling NHWC layouts
-    never exist. Output (B, S/4, S/4, c2) equals layer 1's output exactly
-    (within f32 accumulation order). Requires fused params.
-    """
-    w0 = fold_stem_s4d(p0["conv"]["w"])
-    b0 = jnp.tile(p0["conv"]["b"], 4)
-    y = jax.lax.conv_general_dilated(
-        x_s4d, w0.astype(x_s4d.dtype), window_strides=(1, 1),
-        padding=[(1, 0), (1, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    y = conv0._act(y + b0.astype(y.dtype))
-    w1 = fold_stem_s2d(p1["conv"]["w"])
-    z = jax.lax.conv_general_dilated(
-        y, w1.astype(y.dtype), window_strides=(1, 1),
-        padding=[(1, 0), (1, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    return conv1._act(z + p1["conv"]["b"].astype(z.dtype))
-
-
-def s4d_relayout(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H/4, W/4, 16*C) 4x4 space-to-depth: the layout
-    fold_stem_s4d consumes (channel ((dy2*2+dx2)*4 + dy1*2+dx1)*C + c)."""
-    b, hh, ww, cc = x.shape
-    xs = x.reshape(b, hh // 4, 2, 2, ww // 4, 2, 2, cc)
-    return xs.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, hh // 4, ww // 4, 16 * cc)
-
-
-def stem_s4d_apply_pallas(conv0: "Conv", conv1: "Conv", p0: Dict, p1: Dict,
-                          x_s4d: jnp.ndarray, th: int = 40, interpret=None,
-                          sumtap: bool = False) -> jnp.ndarray:
-    """stem_s4d_apply with both convs fused into one Pallas kernel (the conv0
-    output never leaves VMEM — the only way to cut the stem's HBM traffic,
-    docs/PERF.md round-4 note). SiLU is baked into the kernel, so both stem
-    Convs must use the default act (true for every shipped yaml)."""
-    if conv0.act is not True or conv1.act is not True:
-        raise ValueError("fused stem kernel assumes SiLU activations")
-    from yololite_tpu.ops.pallas_kernels import fused_stem_s4d_pallas
-
-    w0 = fold_stem_s4d(p0["conv"]["w"])
-    b0 = jnp.tile(p0["conv"]["b"], 4)
-    w1 = fold_stem_s2d(p1["conv"]["w"])
-    return fused_stem_s4d_pallas(x_s4d, w0, b0, w1, p1["conv"]["b"], th=th,
-                                 interpret=interpret, sumtap=sumtap)
-
-
-def stem_s2d_apply(conv: "Conv", params: Dict, x_s2d: jnp.ndarray) -> jnp.ndarray:
-    """Run a fused layer-0 Conv (k3 s2 p1 g1) on the s2d letterbox layout.
-
-    Equivalent (within f32 accumulation order) to conv(params, x) on the full
-    (S, S, 3) image; requires fused params ({'conv': {'w', 'b'}}). The small
-    weight fold runs per call (9 tiny scatters; XLA hoists it off the hot path).
-    """
-    w2 = fold_stem_s2d(params["conv"]["w"])
-    y = jax.lax.conv_general_dilated(
-        x_s2d, w2.astype(x_s2d.dtype), window_strides=(1, 1),
-        padding=[(1, 0), (1, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    y = y + params["conv"]["b"].astype(y.dtype)
-    return conv._act(y)
+# NOTE: the space-to-depth stem machinery (fold_stem_s2d/fold_stem_s4d weight
+# folds, stem_s2d_apply/stem_s4d_apply relayout paths, and a fused two-conv
+# Pallas stem kernel) lived here through rounds 2-4. All variants were
+# exactness-tested and measured SLOWER than the plain XLA stem on v5e
+# (s2d 0.90x / s4d 0.92x e2e; fused kernel 13.7 vs 2.7 ms/batch at bs=128 --
+# MXU lane padding dominates the 48/64-wide contractions). Removed per the
+# flip-or-delete rule; numbers in docs/PERF.md round 4 + docs/r4_queue1_results.log.
 
 
 class Conv2d(Module):
@@ -678,124 +559,104 @@ class Detect(Module):
     __call__ returns the raw per-level maps (B, H, W, 4*reg_max + nc); decoding to
     boxes happens in `yololite_tpu.ops.decode` so that train/val/predict paths share
     one jittable graph without branching on mode.
+
+    end2end=True adds the NMS-free one-to-one branch pair (reference
+    head.py:55-57,71-93 forward_end2end): structurally identical reg/cls
+    branches run on gradient-detached inputs, trained with top-1 TAL
+    assignment (E2EDetectLoss) so each gt claims exactly one anchor and
+    inference needs only a top-k select, no suppression. __call__ then
+    returns {"one2many": [maps], "one2one": [maps]} (a pytree, so the jitted
+    train/predict graphs stay mode-free).
     """
 
-    def __init__(self, nc=80, ch=()):
+    def __init__(self, nc=80, ch=(), end2end: bool = False):
         self.nc = nc
         self.nl = len(ch)
         self.reg_max = 16
         self.no = nc + self.reg_max * 4
         self.stride = [8, 16, 32][: self.nl]  # filled properly by the graph builder
+        self.end2end = bool(end2end)
+        self.max_det = 300  # reference head.py:23 (one2one top-k pool)
         c2 = max(16, ch[0] // 4, self.reg_max * 4)
         c3 = max(ch[0], min(nc, 100))
         self.c2ch, self.c3ch = c2, c3
-        self.sub = {
-            "cv2": ModList(
-                [Seq(Conv(x, c2, 3), Conv(c2, c2, 3), Conv2d(c2, 4 * self.reg_max, 1)) for x in ch]
-            ),
-            "cv3": ModList(
-                [
-                    Seq(
-                        Seq(DWConv(x, x, 3), Conv(x, c3, 1)),
-                        Seq(DWConv(c3, c3, 3), Conv(c3, c3, 1)),
-                        Conv2d(c3, nc, 1),
-                    )
-                    for x in ch
-                ]
-            ),
-        }
+
+        def _branches():
+            return (
+                ModList([Seq(Conv(x, c2, 3), Conv(c2, c2, 3), Conv2d(c2, 4 * self.reg_max, 1)) for x in ch]),
+                ModList(
+                    [
+                        Seq(
+                            Seq(DWConv(x, x, 3), Conv(x, c3, 1)),
+                            Seq(DWConv(c3, c3, 3), Conv(c3, c3, 1)),
+                            Conv2d(c3, nc, 1),
+                        )
+                        for x in ch
+                    ]
+                ),
+            )
+
+        cv2, cv3 = _branches()
+        self.sub = {"cv2": cv2, "cv3": cv3}
+        if self.end2end:  # structural deepcopy of the branch pair (head.py:55-57)
+            o2, o3 = _branches()
+            self.sub["one2one_cv2"] = o2
+            self.sub["one2one_cv3"] = o3
 
     def init(self, key):
         params, state = {}, {}
-        params["cv2"], state["cv2"] = self.sub["cv2"].init(key)
-        params["cv3"], state["cv3"] = self.sub["cv3"].init(key)
+        for k in self.sub:
+            params[k], state[k] = self.sub[k].init(key)
         return params, state
 
     def bias_init(self, params):
-        """Prior-aware bias init (reference head.py:128-139); returns updated params."""
-        params = dict(params)
-        for i, s in enumerate(self.stride):
-            box_seq = dict(params["cv2"][str(i)])
-            last = dict(box_seq["2"])
-            last["b"] = jnp.ones_like(last["b"])
-            box_seq["2"] = last
-            cv2 = dict(params["cv2"])
-            cv2[str(i)] = box_seq
-            params["cv2"] = cv2
+        """Prior-aware bias init (reference head.py:128-139); returns updated params.
 
-            cls_seq = dict(params["cv3"][str(i)])
-            last = dict(cls_seq["2"])
-            last["b"] = jnp.full_like(last["b"], math.log(5 / self.nc / (640 / s) ** 2))
-            cls_seq["2"] = last
-            cv3 = dict(params["cv3"])
-            cv3[str(i)] = cls_seq
-            params["cv3"] = cv3
+        In end2end mode the one2one branch pair gets the same priors
+        (head.py:136-139)."""
+        params = dict(params)
+        pairs = [("cv2", "cv3")]
+        if self.end2end and "one2one_cv2" in params:
+            pairs.append(("one2one_cv2", "one2one_cv3"))
+        for bk, ck in pairs:
+            for i, s in enumerate(self.stride):
+                box_seq = dict(params[bk][str(i)])
+                last = dict(box_seq["2"])
+                last["b"] = jnp.ones_like(last["b"])
+                box_seq["2"] = last
+                cv2 = dict(params[bk])
+                cv2[str(i)] = box_seq
+                params[bk] = cv2
+
+                cls_seq = dict(params[ck][str(i)])
+                last = dict(cls_seq["2"])
+                last["b"] = jnp.full_like(last["b"], math.log(5 / self.nc / (640 / s) ** 2))
+                cls_seq["2"] = last
+                cv3 = dict(params[ck])
+                cv3[str(i)] = cls_seq
+                params[ck] = cv3
         return params
 
-    def fold_input_convs(self, params):
-        """Concat each level's first reg conv (cv2[i][0], dense 3x3) with the
-        DENSIFIED first cls conv (cv3[i][0][0], depthwise 3x3) into one dense
-        3x3 producing c2+ci channels, so the level's input feature map is read
-        from HBM once instead of twice (docs/PERF.md round-4 note; the
-        reference head.py:29-44 keeps two separate branch reads).
-
-        Requires BN-folded params (fuse_tree). Exact up to f32 accumulation
-        order (the densified kernel is zero off its diagonal, but the dense
-        GEMM may sum the surviving products in a different order than the
-        grouped conv — same class of noise as the stem folds). Returns new params
-        with a 'fin' node per level consumed by __call__; the original cv2/cv3
-        level-0 conv params stay in place (dead weight, ~0.3% of the model) so
-        state_dict export and re-folding stay trivially correct.
-        """
-        fin = {}
-        for i in range(self.nl):
-            c2node = params["cv2"][str(i)]["0"]
-            dwnode = params["cv3"][str(i)]["0"]["0"]
-            if "bn" in c2node or "bn" in dwnode:
-                raise ValueError("fold_input_convs requires BN-folded params (run fuse_tree first)")
-            w2, b2 = c2node["conv"]["w"], c2node["conv"]["b"]
-            wd, bd = dwnode["conv"]["w"], dwnode["conv"]["b"]
-            ci = w2.shape[2]
-            if wd.shape != (3, 3, 1, ci) or w2.shape[:2] != (3, 3):
-                raise ValueError(f"unexpected Detect level-{i} input conv shapes: {w2.shape}, {wd.shape}")
-            idx = jnp.arange(ci)
-            dense = jnp.zeros((3, 3, ci, ci), wd.dtype).at[:, :, idx, idx].set(wd[:, :, 0, :])
-            fin[str(i)] = {
-                "w": jnp.concatenate([w2, dense], axis=-1),
-                "b": jnp.concatenate([b2, bd], axis=-1),
-            }
-        return {**params, "fin": fin}
-
-    @staticmethod
-    def _seq_tail(seq, params, state, x, ctx, path, start):
-        """Apply a Seq's children from index `start` (the fin path consumed child 0)."""
-        for j in range(start, len(seq.mods)):
-            sj = str(j)
-            x = seq.mods[j](params.get(sj, {}), state.get(sj, {}), x, ctx, path + (sj,))
-        return x
-
-    def __call__(self, params, state, xs, ctx, path=()):
+    def _branch(self, params, state, xs, ctx, path, bk, ck):
         outs = []
-        fin = params.get("fin") if isinstance(params, dict) else None
         for i, x in enumerate(xs):
-            if fin is not None:
-                f = fin[str(i)]
-                y = jax.nn.silu(conv2d(x, f["w"], 1, 1) + f["b"].astype(x.dtype))
-                box_in, cls_in = y[..., : self.c2ch], y[..., self.c2ch :]
-                si = str(i)
-                p2i = params["cv2"][si]
-                s2i = state.get("cv2", {}).get(si, {})
-                box = self._seq_tail(self.sub["cv2"].mods[i], p2i, s2i, box_in, ctx,
-                                     path + ("cv2", si), 1)
-                p3i = params["cv3"][si]
-                s3i = state.get("cv3", {}).get(si, {})
-                inner = self.sub["cv3"].mods[i].mods[0]  # Seq(DWConv, Conv 1x1)
-                t = inner.mods[1](p3i["0"].get("1", {}), s3i.get("0", {}).get("1", {}),
-                                  cls_in, ctx, path + ("cv3", si, "0", "1"))
-                cls = self._seq_tail(self.sub["cv3"].mods[i], p3i, s3i, t, ctx,
-                                     path + ("cv3", si), 1)
-            else:
-                box = self.sub["cv2"].apply_i(i, params["cv2"], state.get("cv2", {}), x, ctx, path + ("cv2",))
-                cls = self.sub["cv3"].apply_i(i, params["cv3"], state.get("cv3", {}), x, ctx, path + ("cv3",))
+            box = self.sub[bk].apply_i(i, params[bk], state.get(bk, {}), x, ctx, path + (bk,))
+            cls = self.sub[ck].apply_i(i, params[ck], state.get(ck, {}), x, ctx, path + (ck,))
             outs.append(jnp.concatenate([box, cls], axis=-1))
         return outs
+
+    def __call__(self, params, state, xs, ctx, path=()):
+        # NOTE: a shared-input-read fold (concat cv2[i][0] with the densified
+        # cv3[i][0][0] dw conv so each level's input map is read once) was
+        # implemented, exactness-tested, and measured 0.949x of the default on
+        # v5e (docs/r4_queue1_results.log) — the densified dw's extra MACs cost
+        # more than the saved HBM read. Removed per the flip-or-delete rule.
+        if self.end2end and "one2one_cv2" in params:
+            # one2one sees detached features (head.py:85): its top-1 loss must
+            # not fight the one2many gradients flowing into the neck
+            xd = [jax.lax.stop_gradient(x) for x in xs]
+            return {
+                "one2many": self._branch(params, state, xs, ctx, path, "cv2", "cv3"),
+                "one2one": self._branch(params, state, xd, ctx, path, "one2one_cv2", "one2one_cv3"),
+            }
+        return self._branch(params, state, xs, ctx, path, "cv2", "cv3")

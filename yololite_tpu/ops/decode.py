@@ -76,3 +76,37 @@ def decode_detections(
     boxes = dist2bbox(dist, anchors[None], xywh=xywh) * stride_t[None]
     scores = jax.nn.sigmoid(cls_logits)
     return boxes, scores
+
+
+def postprocess_end2end(
+    feats: Sequence[jnp.ndarray],
+    strides: Sequence[int],
+    nc: int,
+    reg_max: int = 16,
+    max_det: int = 300,
+    conf_thres: float = 0.0,
+) -> jnp.ndarray:
+    """NMS-free top-k select over one2one maps (reference head.py:145-167).
+
+    Two-stage selection, exactly the reference's semantics: (1) keep the
+    max_det anchors with the highest per-anchor max class score, (2) flat
+    top-k over the surviving (anchor x class) scores. Returns (B, max_det, 6)
+    [x1, y1, x2, y2, conf, cls] rows sorted by confidence; rows under
+    conf_thres are zeroed (same padded-output convention as ops.nms).
+    """
+    boxes, scores = decode_detections(feats, strides, nc, reg_max, xywh=False)
+    scores = scores.astype(jnp.float32)
+    k = min(max_det, scores.shape[1])
+    # stage 1: per-anchor best class, top-k anchors (head.py:163)
+    best = scores.max(axis=-1)  # (B, A)
+    _, idx = jax.lax.top_k(best, k)  # (B, k)
+    sel_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)  # (B, k, 4)
+    sel_scores = jnp.take_along_axis(scores, idx[..., None], axis=1)  # (B, k, nc)
+    # stage 2: flat top-k over (k * nc) scores (head.py:165)
+    flat = sel_scores.reshape(sel_scores.shape[0], -1)  # (B, k*nc)
+    conf, fidx = jax.lax.top_k(flat, k)  # (B, k)
+    cls = (fidx % nc).astype(jnp.float32)
+    out_boxes = jnp.take_along_axis(sel_boxes, (fidx // nc)[..., None], axis=1)
+    rows = jnp.concatenate([out_boxes, conf[..., None], cls[..., None]], axis=-1)
+    valid = conf > conf_thres
+    return jnp.where(valid[..., None], rows, 0.0)

@@ -160,27 +160,73 @@ def _fixpoint_keep_chunked(shifted: jnp.ndarray, valid: jnp.ndarray, iou_thres: 
     return keep
 
 
+def _blocked_keep(shifted: jnp.ndarray, valid: jnp.ndarray, iou_thres: float,
+                  block: int = 1024) -> jnp.ndarray:
+    """Exact greedy keep for large K via score-ordered blocks (batched).
+
+    Candidates arrive score-sorted, so greedy decomposes exactly: resolve one
+    `block`-sized prefix with the batched fixpoint (exact greedy given the
+    incoming alive mask), then mask every LATER candidate suppressed by this
+    block's kept items with ONE dense (block, K_rest) IoU pass, and move on.
+    ~K/block sequential units of dense MXU/VPU work instead of _greedy_keep's
+    K/32 serial scan steps (the round-3 large-K pain: 27.7 ms/batch at K=8192,
+    B=8). Each block is wrapped in lax.cond so fully-suppressed tails cost one
+    predicate reduce instead of a fixpoint + cross pass (real validation data
+    rarely has > ~1-2k alive candidates at conf=0.001).
+    """
+    b, k = valid.shape
+    block = min(block, k)
+    while k % block:
+        block //= 2
+    nb = k // block
+    shifted32 = shifted.astype(jnp.float32)
+    keep = jnp.zeros_like(valid)
+    alive = valid
+    for bi in range(nb):
+        seg = shifted32[:, bi * block:(bi + 1) * block]
+        alive_seg = alive[:, bi * block:(bi + 1) * block]
+
+        def do(seg=seg, alive_seg=alive_seg, bi=bi):
+            kb = _fixpoint_keep(seg, alive_seg, iou_thres)  # (B, block) exact
+            if bi + 1 < nb:
+                rest = shifted32[:, (bi + 1) * block:]
+                cross = jax.vmap(box_iou)(seg, rest)  # (B, block, K_rest)
+                supp = jnp.any(kb[:, :, None] & (cross > iou_thres), axis=1)
+                return kb, supp
+            return kb, jnp.zeros((b, 0), bool)
+
+        def skip(bi=bi):
+            return (jnp.zeros((b, block), bool),
+                    jnp.zeros((b, k - (bi + 1) * block if bi + 1 < nb else 0), bool))
+
+        kb, supp = jax.lax.cond(jnp.any(alive_seg), do, skip)
+        keep = keep.at[:, bi * block:(bi + 1) * block].set(kb)
+        if bi + 1 < nb:
+            alive = alive.at[:, (bi + 1) * block:].set(alive[:, (bi + 1) * block:] & ~supp)
+    return keep
+
+
 # Large-K (> 1024) exact-greedy strategy: "scan" = per-image chunked serial scan
-# (_greedy_keep), "fixpoint" = batched chunked fixpoint sweeps. Both are
-# bit-identical to sequential greedy; the default stays "scan" until the
-# fixpoint form is measured faster on the validator workload on-chip
-# (docs/PERF.md round-3 "next levers"). Read at TRACE time: set it before the
-# first NMS call of the process (jit caches keyed on static args won't retrace
-# on a later flip).
-LARGE_K_MODE = "scan"
+# (_greedy_keep), "fixpoint" = batched chunked fixpoint sweeps, "blocked" =
+# score-ordered block fixpoint + dense cross-suppression passes. All three are
+# bit-identical to sequential greedy. "blocked" replaces ~256 serial scan steps
+# with ~K/1024 dense units and skips dead tails via lax.cond — measured on the
+# validator workload before flipping (docs/PERF.md round 4). Read at TRACE time:
+# set before the first NMS call of the process.
+LARGE_K_MODE = "blocked"
 
 
 def _keep_large_k(shifted: jnp.ndarray, valid: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
     if LARGE_K_MODE == "fixpoint":
         return _fixpoint_keep_chunked(shifted, valid, iou_thres)
+    if LARGE_K_MODE == "blocked":
+        return _blocked_keep(shifted, valid, iou_thres)
     return jax.vmap(functools.partial(_greedy_keep, iou_thres=iou_thres))(shifted, valid)
 
 
-def _select_candidates(boxes, scores, conf_thres, max_cand, multi_label, class_mask, approx=False):
+def _select_candidates(boxes, scores, conf_thres, max_cand, multi_label, class_mask):
     """Per-image: gate + top-K candidate selection -> (vals, boxes_k, cls, valid).
 
-    approx=True uses jax.lax.approx_max_k (TPU-optimized, ~recall 0.95 of the
-    exact top-K) -- serving mode only, never for parity-critical validation.
     """
     a, nc = scores.shape
     if class_mask is not None:
@@ -197,10 +243,7 @@ def _select_candidates(boxes, scores, conf_thres, max_cand, multi_label, class_m
         conf = jnp.max(scores, axis=-1)
         cls_i = jnp.argmax(scores, axis=-1)
         gated = jnp.where(conf > conf_thres, conf, -1.0)
-        if approx:
-            vals, bidx = jax.lax.approx_max_k(gated, k)
-        else:
-            vals, bidx = jax.lax.top_k(gated, k)
+        vals, bidx = jax.lax.top_k(gated, k)
         # note: argmax over all anchors beats a per-candidate row gather on TPU
         # (XLA row-gather of (K, nc) from (A, nc) lowers worse than the dense reduce)
         cls = cls_i[bidx].astype(jnp.float32)
@@ -249,9 +292,12 @@ def non_max_suppression(
 ) -> jnp.ndarray:
     """Batched class-aware NMS -> (B, max_det, 6) padded detections.
 
-    mode: 'greedy' (lax.scan, exact torchvision semantics), 'pallas' (VMEM kernel,
-    exact), 'fast' (one-shot matrix NMS, slightly over-suppresses), 'serve'
-    (approx top-k + fast suppression: fastest, measured +18% end-to-end on v5e).
+    mode: 'greedy' (exact torchvision semantics), 'pallas' (VMEM kernel, exact),
+    'fast' (one-shot matrix NMS, slightly over-suppresses). A fourth 'serve'
+    mode (approx_max_k + Fast-NMS) was deleted in round 4: after the
+    select-first rework it LOST to exact greedy at bs=128 throughput (7,076 vs
+    7,411 img/s, BENCH_r03) and won <=2% at bs=1 latency
+    (docs/r4_latency_results.log) — not worth a mode.
     """
     vals, cand_boxes, cls, valid = jax.vmap(
         functools.partial(
@@ -260,7 +306,6 @@ def non_max_suppression(
             max_cand=max_cand,
             multi_label=multi_label,
             class_mask=class_mask,
-            approx=mode == "serve",
         )
     )(boxes, scores)
 
@@ -272,7 +317,7 @@ def non_max_suppression(
 
         iou = jax.vmap(box_iou)(shifted, shifted)
         keep = greedy_nms_keep_pallas(iou, valid, iou_thres) > 0
-    elif mode in ("fast", "serve"):
+    elif mode == "fast":
         keep = (_fast_keep_batched(shifted, valid, iou_thres) if shifted.shape[1] <= 1024 else
                 jax.vmap(functools.partial(_fast_keep, iou_thres=iou_thres))(shifted, valid))
     elif shifted.shape[1] <= 1024:  # exact greedy: fixpoint sweeps beat the serial scan
@@ -296,8 +341,9 @@ def nms_from_feats(
     class_mask: Optional[jnp.ndarray] = None,
     mode: str = "greedy",
     half: bool = False,
+    multi_label: bool = False,
 ) -> jnp.ndarray:
-    """Fused single-label NMS over raw Detect maps -> padded (B, max_det, 6).
+    """Fused select-first NMS over raw Detect maps -> padded (B, max_det, 6).
 
     The measured-fastest exact pipeline on v5e (docs/PERF.md round 3; 21.6 ->
     16.4 ms/batch e2e at bs=128 vs decode_detections + non_max_suppression):
@@ -319,6 +365,14 @@ def nms_from_feats(
     order, suppression and ranking are exactly equivalent. Replaces the
     reference hot loop's decode-everything-then-host-NMS (predictor.py:149-225,
     head.py:95-126, utils/ops.py:138-273).
+
+    multi_label=True selects over the flattened (anchor x class) axis instead
+    (one candidate per above-threshold class, the validator semantics of
+    reference ops.py:225-233): per-level top-k over (H*W*nc) gated scores with
+    level-major flat indices, then the same merge/decode/suppression — tie
+    order identical to non_max_suppression(multi_label=True)'s single flat
+    top_k (each global top-K element is in its level's top-K; level-major
+    concat preserves lax.top_k's lowest-index tie rule).
     """
     from yololite_tpu.ops.decode import dfl_expectation_mm
 
@@ -328,7 +382,8 @@ def nms_from_feats(
     # 1+2: per-level gate/reduce/top-k, then merge. The max/argmax run over the
     # sigmoid (not raw logits): bf16 sigmoid is not strictly monotone, so this
     # keeps bit-identical class/tie decisions with the decode_detections path.
-    k = min(max_cand, sum(h * w for h, w in shapes))
+    ml = multi_label and nc > 1
+    k = min(max_cand, sum(h * w for h, w in shapes) * (nc if ml else 1))
     vs, ids, clss = [], [], []
     off = 0
     for f in feats:
@@ -336,24 +391,37 @@ def nms_from_feats(
         s_full = jax.nn.sigmoid(cl if half else cl.astype(jnp.float32))
         if class_mask is not None:
             s_full = jnp.where(class_mask, s_full, 0.0)
-        s = jnp.max(s_full, axis=-1).reshape(B, -1)  # (B, H*W)
-        clss.append(jnp.argmax(s_full, axis=-1).reshape(B, -1))
-        kl = min(k, s.shape[1])
-        v, i = jax.lax.top_k(jnp.where(s > conf_thres, s, -1.0), kl)
-        vs.append(v)
-        ids.append(i + off)
-        off += s.shape[1]
+        if ml:  # flat (anchor x class) selection; global flat idx = (off + a) * nc + c
+            s = s_full.reshape(B, -1)  # (B, H*W*nc)
+            kl = min(k, s.shape[1])
+            v, i = jax.lax.top_k(jnp.where(s > conf_thres, s, -1.0), kl)
+            vs.append(v)
+            ids.append(i + off * nc)
+        else:
+            s = jnp.max(s_full, axis=-1).reshape(B, -1)  # (B, H*W)
+            clss.append(jnp.argmax(s_full, axis=-1).reshape(B, -1))
+            kl = min(k, s.shape[1])
+            v, i = jax.lax.top_k(jnp.where(s > conf_thres, s, -1.0), kl)
+            vs.append(v)
+            ids.append(i + off)
+        off += f.shape[1] * f.shape[2]
     vals, j = jax.lax.top_k(jnp.concatenate(vs, axis=1), k)  # (B, K)
-    bidx = jnp.take_along_axis(jnp.concatenate(ids, axis=1), j, axis=1)
+    sel = jnp.take_along_axis(jnp.concatenate(ids, axis=1), j, axis=1)
+    if ml:
+        bidx = sel // nc
+        cls_k = (sel % nc).astype(jnp.float32)
+    else:
+        bidx = sel
 
     # 3: decode all anchors (MXU segment matmuls), gather only narrow results
-    cls_all = jnp.concatenate(clss, axis=1).astype(jnp.float32)
     box_logits = jnp.concatenate(
         [f[..., : 4 * reg_max].reshape(B, -1, 4 * reg_max) for f in feats], axis=1
     )
     dist_all = dfl_expectation_mm(box_logits, reg_max)  # (B, A, 4) f32
     dist = jax.vmap(lambda d, i: d[i])(dist_all, bidx)  # narrow (K, 4) gather
-    cls_k = jax.vmap(lambda c, i: c[i])(cls_all, bidx)
+    if not ml:
+        cls_all = jnp.concatenate(clss, axis=1).astype(jnp.float32)
+        cls_k = jax.vmap(lambda c, i: c[i])(cls_all, bidx)
 
     # 4: arithmetic anchors (grid x/y + 0.5, per-level stride) from bidx
     offs, Ws, Ss = [], [], []
@@ -382,7 +450,7 @@ def nms_from_feats(
     # 5: suppression + compaction
     offset = jnp.zeros_like(cls_k) if agnostic else cls_k * MAX_WH
     shifted = cand_boxes + offset[..., None]
-    if mode in ("fast", "serve"):
+    if mode == "fast":
         keep = (_fast_keep_batched(shifted, valid, iou_thres) if k <= 1024 else
                 jax.vmap(functools.partial(_fast_keep, iou_thres=iou_thres))(shifted, valid))
     elif k <= 1024:
@@ -392,44 +460,3 @@ def nms_from_feats(
     return jax.vmap(functools.partial(_finalize, max_det=max_det))(cand_boxes, vals, cls_k, keep)
 
 
-def fused_decode_nms(
-    feats,
-    strides,
-    nc: int,
-    reg_max: int = 16,
-    conf_thres: float = 0.25,
-    iou_thres: float = 0.45,
-    max_det: int = 300,
-    max_cand: int = 512,
-    agnostic: bool = False,
-    mode: str = "greedy",
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Single-label predict path: raw Detect maps -> padded (B, max_det, 6).
-
-    The decode (DFL expectation, dist2bbox, sigmoid) and per-anchor class
-    selection run as ONE Pallas pass over the level maps
-    (ops/pallas_kernels.decode_select_pallas) instead of decode's separate
-    softmax/sigmoid/max reductions; top-k, suppression and finalize reuse the
-    standard NMS pieces. Equivalent to decode_detections +
-    non_max_suppression(multi_label=False) within float rounding.
-    """
-    from yololite_tpu.ops.pallas_kernels import decode_select_pallas
-
-    boxes, conf, cls = decode_select_pallas(
-        feats, strides, nc, reg_max, conf_thres=conf_thres, interpret=interpret
-    )
-
-    def sel(conf_i, boxes_i, cls_i):
-        k = min(max_cand, conf_i.shape[0])
-        vals, bidx = jax.lax.top_k(conf_i, k)  # conf pre-gated to -1 below threshold
-        return vals, boxes_i[bidx], cls_i[bidx], vals > 0
-    vals, cand_boxes, cls_k, valid = jax.vmap(sel)(conf, boxes, cls)
-
-    offset = jnp.zeros_like(cls_k) if agnostic else cls_k * MAX_WH
-    shifted = cand_boxes + offset[..., None]
-    if mode in ("fast", "serve"):
-        keep = jax.vmap(functools.partial(_fast_keep, iou_thres=iou_thres))(shifted, valid)
-    else:
-        keep = jax.vmap(functools.partial(_greedy_keep, iou_thres=iou_thres))(shifted, valid)
-    return jax.vmap(functools.partial(_finalize, max_det=max_det))(cand_boxes, vals, cls_k, keep)

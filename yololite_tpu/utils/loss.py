@@ -139,29 +139,40 @@ class v8DetectionLoss:
 
         pred_bboxes = self.bbox_decode(anchor_points, pred_distri)  # (B, A, 4) anchor units, fp32
 
-        _, target_bboxes, target_scores, fg_mask, _ = self.assigner(
+        # assigner outputs are non-differentiable by construction (its inputs
+        # are stop_gradient'd); marking the OUTPUTS too lets XLA drop every
+        # assignment op from the backward graph outright instead of carrying
+        # them as residual producers (VERDICT r3 #4 loss-tail lever)
+        _, target_bboxes, target_scores, fg_mask, _ = jax.lax.stop_gradient(self.assigner(
             jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
             jax.lax.stop_gradient(pred_bboxes * stride_tensor).astype(gt_bboxes.dtype),
             anchor_points * stride_tensor,
             gt_labels,
             gt_bboxes,
             mask_gt,
-        )
+        ))
 
         # All accumulations below are fp32 even with bf16 logits: the upcasts fuse
         # into the elementwise producers, so the big (B,A,nc) tensors stay bf16 in
         # HBM on the amp path while sums/ratios are computed exactly.
-        target_scores = target_scores.astype(jnp.float32)
-        target_scores_sum = jnp.maximum(target_scores.sum(), 1)
+        amp = dtype == jnp.bfloat16
+        # on the amp path the (B,A,nc) target tensor itself lives in HBM as
+        # bf16 (targets are exact one-hot*score products; bf16 keeps ~3
+        # significant digits of the normalized scores) — halves the HBM reads
+        # of the largest loss tensors; every SUM below stays fp32
+        target_scores = target_scores.astype(jnp.bfloat16 if amp else jnp.float32)
+        target_scores_sum = jnp.maximum(target_scores.astype(jnp.float32).sum(), 1)
 
-        # cls: BCE-with-logits, sum-normalized (loss.py:147)
-        bce = optax_sigmoid_bce(pred_scores.astype(jnp.float32), target_scores)
-        loss_cls = bce.sum() / target_scores_sum
+        # cls: BCE-with-logits, sum-normalized (loss.py:147). Fused-backward
+        # form: fp32 forward accumulation, backward emits sigmoid(x)-y directly
+        # in the logits' dtype (bf16 under amp — the (B,A,nc) cls gradient is
+        # the single biggest backward tensor)
+        loss_cls = bce_sum(pred_scores, target_scores) / target_scores_sum
 
         # box + dfl, masked on fg
         fg = fg_mask.astype(jnp.float32)  # (B, A)
         target_bboxes = target_bboxes.astype(jnp.float32) / stride_tensor
-        weight = target_scores.sum(-1) * fg  # (B, A)
+        weight = target_scores.astype(jnp.float32).sum(-1) * fg  # (B, A), fp32 accumulation
         iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True)
         loss_box = ((1.0 - iou) * weight).sum() / target_scores_sum
 
@@ -179,3 +190,52 @@ class v8DetectionLoss:
 def optax_sigmoid_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Numerically-stable BCEWithLogits (same math as torch's)."""
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+@jax.custom_vjp
+def bce_sum(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """sum(BCEWithLogits(logits, labels)) with a fused analytic backward.
+
+    Forward: fp32 math regardless of input dtype (torch autocast runs BCE in
+    fp32; the upcast fuses into the elementwise read). Backward: the exact
+    closed form d/dlogits = sigmoid(logits) - labels, emitted in the LOGITS'
+    dtype — so on the amp path the (B, A, nc) cls gradient is written to HBM
+    as bf16 instead of autodiff's fp32 (the biggest single backward tensor of
+    the train step, docs/PERF.md round-3 decomposition). Labels are expected
+    non-differentiable (assignment targets are stop_gradient'd)."""
+    return optax_sigmoid_bce(logits.astype(jnp.float32), labels.astype(jnp.float32)).sum()
+
+
+def _bce_sum_fwd(logits, labels):
+    return bce_sum(logits, labels), (logits, labels)
+
+
+def _bce_sum_bwd(res, g):
+    logits, labels = res
+    glog = (jax.nn.sigmoid(logits) - labels.astype(logits.dtype)) * g.astype(logits.dtype)
+    # labels cotangent is never consumed (targets come through stop_gradient);
+    # the zeros are DCE'd by XLA
+    return glog, jnp.zeros_like(labels)
+
+
+bce_sum.defvjp(_bce_sum_fwd, _bce_sum_bwd)
+
+
+class E2EDetectLoss:
+    """One-to-many + one-to-one loss pair for end2end heads (reference
+    loss.py:162-177): the one2many branch trains with top-10 TAL assignment,
+    the one2one branch with top-1 (each gt claims exactly one anchor, so
+    inference needs only a top-k select — no NMS).
+
+    __call__ takes the {"one2many": [maps], "one2one": [maps]} dict that
+    Detect(end2end=True) returns and sums the two branch losses (totals and
+    per-item vectors alike, loss.py:171-177)."""
+
+    def __init__(self, nc: int, strides: Sequence[int], reg_max: int = 16, hyp=None):
+        self.one2many = v8DetectionLoss(nc, strides, reg_max, hyp=hyp, tal_topk=10)
+        self.one2one = v8DetectionLoss(nc, strides, reg_max, hyp=hyp, tal_topk=1)
+
+    def __call__(self, preds, targets: Dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        total_m, items_m = self.one2many(preds["one2many"], targets)
+        total_o, items_o = self.one2one(preds["one2one"], targets)
+        return total_m + total_o, items_m + items_o
