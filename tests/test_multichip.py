@@ -1,5 +1,6 @@
 """Multi-chip (virtual 8-device CPU mesh) sharding tests + driver entry checks."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -192,10 +193,14 @@ def test_shard_batch_tail_fallback():
     np.testing.assert_allclose(np.asarray(y), 8.0)
 
 
-def test_trainer_mesh_loss_curve_matches_single_device(tmp_path, monkeypatch):
+@pytest.mark.parametrize("amp,rtol,atol", [(False, 1e-4, 1e-5), (True, 2e-2, 2e-2)],
+                         ids=["fp32-tight", "bf16"])
+def test_trainer_mesh_loss_curve_matches_single_device(tmp_path, monkeypatch, amp, rtol, atol):
     """Loss curve over 2 epochs on the 8-device mesh matches a single-device run
-    within float tolerance (stronger than one-step grad parity: optimizer, EMA
-    and BN-state updates all compose across epochs)."""
+    (stronger than one-step grad parity: optimizer, EMA and BN-state updates all
+    compose across epochs). The fp32 variant runs at rtol 1e-4 so a subtly wrong
+    gradient psum cannot hide inside the tolerance (VERDICT r3 #8); the bf16/amp
+    variant keeps the precision-appropriate 2e-2."""
     import csv
 
     from yololite_tpu.engine import trainer as trainer_mod
@@ -206,7 +211,7 @@ def test_trainer_mesh_loss_curve_matches_single_device(tmp_path, monkeypatch):
         "model": "yolo11n.yaml", "data": str(yaml_path),
         "epochs": 2, "imgsz": 64, "batch": 8, "workers": 0, "mode": "train",
         "project": str(tmp_path), "val": False, "plots": False, "save": False,
-        "close_mosaic": 0, "optimizer": "SGD", "seed": 7,
+        "close_mosaic": 0, "optimizer": "SGD", "seed": 7, "amp": amp,
         "mosaic": 0.0, "mixup": 0.0, "copy_paste": 0.0, "degrees": 0.0,
         "translate": 0.0, "scale": 0.0, "shear": 0.0, "perspective": 0.0,
         "flipud": 0.0, "fliplr": 0.0, "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0,
@@ -228,7 +233,7 @@ def test_trainer_mesh_loss_curve_matches_single_device(tmp_path, monkeypatch):
 
     mesh_curve = run("mesh8", single_device=False)
     single_curve = run("single", single_device=True)
-    np.testing.assert_allclose(mesh_curve, single_curve, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(mesh_curve, single_curve, rtol=rtol, atol=atol)
 
 
 def test_trainer_fused_step_on_virtual_mesh(tmp_path):
