@@ -1,0 +1,197 @@
+"""Split the v8 loss fwd+bwd cost into its components, on-chip (bs=64, 640px).
+
+The r3/r4 decompositions say loss+TAL fwd+bwd is ~19 ms of the 89 ms bs=64 amp
+step while being ~3% of its flops, and the r4 levers (bce custom-vjp, bf16
+targets, assigner stop_gradient) measured ~0 e2e. This names the actual costs.
+All stages run on random Detect maps (no model forward), grad taken w.r.t. the
+FEATS (the cotangent the model backward consumes):
+
+  floor       sum(feats) — scan-salt + read floor, subtract from everything
+  assigner    TAL assignment forward only (stop_gradient semantics)
+  bce         grad of sum BCE(pred_scores, fixed targets)   (B,A,80)
+  decode      grad of sum dfl_expectation_mm (dense)        (B,A,64)->(B,A,4)
+  dfl_ce      grad of sum _df_loss (dense)                  (B,A,64)
+  ciou        grad of sum CIoU(decoded, fixed)              incl. decode
+  full        grad of the shipped v8DetectionLoss
+  cJ_*        compact-K variants of decode+ciou+dfl_ce on K=256 fg rows:
+              cJ_tal   = take_along_axis row-gather of (K, 4R) logits
+              cJ_oh    = one-hot (B,K,A) matmul gather
+              (both then decode+CIoU+DFL-CE on the compact rows)
+
+Timing: scan-chained through a scalar salt added to ALL feats; stage `floor`
+measures the salt+read cost so deltas are honest. Usage: loss_profile.py [bs]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main(bs=64, iters=20):
+    bs, iters = int(bs), int(iters)
+    import os
+
+    import jax
+
+    if os.environ.get("LOSSPROFILE_CPU"):  # local shape/crash validation only
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from yololite_tpu.ops.boxes import bbox2dist, bbox_iou, dist2bbox, make_anchors
+    from yololite_tpu.ops.decode import dfl_expectation_mm, flatten_levels
+    from yololite_tpu.utils.loss import build_targets, bce_sum, v8DetectionLoss
+    from yololite_tpu.utils.tal import TaskAlignedAssigner
+
+    dev = jax.devices()[0]
+    print(f"device: {dev} ({dev.platform})", flush=True)
+
+    S, MG, R, NC = 640, 16, 16, 80
+    strides = [8, 16, 32]
+    shapes = [(S // s, S // s) for s in strides]
+    A = sum(h * w for h, w in shapes)
+    NO = NC + 4 * R
+    loss_fn = v8DetectionLoss(NC, strides, R)
+    assigner = TaskAlignedAssigner(topk=10, num_classes=NC, alpha=0.5, beta=6.0)
+
+    rng = np.random.default_rng(0)
+    feats = [jax.device_put(jnp.asarray(rng.normal(0, 1, (bs, h, w, NO)), jnp.bfloat16))
+             for h, w in shapes]
+    n_gt = 4
+    batch = {
+        "batch_idx": np.repeat(np.arange(bs, dtype=np.float32), n_gt),
+        "cls": rng.integers(0, NC, (bs * n_gt, 1)).astype(np.float32),
+        "bboxes": np.clip(rng.random((bs * n_gt, 4)).astype(np.float32) * 0.5 + 0.25, 0.05, 0.95),
+    }
+    t = build_targets(batch, bs, (S, S), MG)
+    gl = jax.device_put(jnp.asarray(t["gt_labels"]))
+    gb = jax.device_put(jnp.asarray(t["gt_bboxes"]))
+    mg = jax.device_put(jnp.asarray(t["mask_gt"]))
+    targets = {"gt_labels": gl, "gt_bboxes": gb, "mask_gt": mg}
+
+    anchor_points, stride_tensor = make_anchors(shapes, strides, 0.5)
+    # fixed dense "assignment products" so component stages skip the assigner
+    tsc = jax.device_put(jnp.asarray(
+        (rng.random((bs, A, NC)) < 0.002) * rng.random((bs, A, NC)), jnp.bfloat16))
+    tbb = jax.device_put(jnp.asarray(
+        rng.uniform(0, S, (bs, A, 4)).astype(np.float32)))  # pixels, unsorted is fine for cost
+    fgm = jax.device_put(jnp.asarray(rng.random((bs, A)) < 0.02, jnp.bool_))
+    K = 256
+
+    def split(fs):
+        x = flatten_levels(list(fs))
+        return x[..., : 4 * R], x[..., 4 * R:]
+
+    # ---------------- stages ----------------
+    def floor(fs):
+        return sum(jnp.sum(f.astype(jnp.float32)) for f in fs)
+
+    def assigner_fwd(fs):
+        pd, ps = split(fs)
+        pb = dist2bbox(dfl_expectation_mm(pd, R), anchor_points, xywh=False)
+        _, tb, ts, fg, _ = assigner(
+            jax.nn.sigmoid(ps), (pb * stride_tensor).astype(gb.dtype),
+            anchor_points * stride_tensor, gl, gb, mg)
+        return jnp.sum(ts.astype(jnp.float32)) + jnp.sum(tb) + jnp.sum(fg)
+
+    def bce_obj(fs):
+        _, ps = split(fs)
+        return bce_sum(ps, tsc)
+
+    def decode_obj(fs):
+        pd, _ = split(fs)
+        return jnp.sum(dfl_expectation_mm(pd, R))
+
+    def dflce_obj(fs):
+        pd, _ = split(fs)
+        tl = bbox2dist(anchor_points, tbb / stride_tensor, R - 1)
+        return jnp.sum(loss_fn._df_loss(pd, tl))
+
+    def ciou_obj(fs):
+        pd, _ = split(fs)
+        pb = dist2bbox(dfl_expectation_mm(pd, R), anchor_points, xywh=False)
+        iou = bbox_iou(pb, tbb / stride_tensor, xywh=False, CIoU=True)
+        return jnp.sum((1.0 - iou) * fgm.astype(jnp.float32))
+
+    def full_obj(fs):
+        total, _ = loss_fn(list(fs), targets)
+        return total
+
+    def _compact(pd, idx):
+        a_fg = anchor_points[idx]              # (B,K,2) narrow
+        st_fg = stride_tensor[idx]             # (B,K,1) narrow
+        tb_fg = jnp.take_along_axis(tbb, idx[..., None], axis=1) / st_fg
+        pb = dist2bbox(dfl_expectation_mm(pd, R), a_fg, xywh=False)
+        iou = bbox_iou(pb, tb_fg, xywh=False, CIoU=True)
+        tl = bbox2dist(a_fg, tb_fg, R - 1)
+        df = loss_fn._df_loss(pd, tl)
+        return jnp.sum((1.0 - iou)) + jnp.sum(df)
+
+    def cJ_tal_obj(fs):
+        pd, _ = split(fs)
+        idx = jax.lax.top_k(fgm.astype(jnp.float32), K)[1]  # (B,K)
+        pd_fg = jnp.take_along_axis(pd, idx[..., None], axis=1)  # wide row-gather
+        return _compact(pd_fg, idx)
+
+    def cJ_oh_obj(fs):
+        pd, _ = split(fs)
+        idx = jax.lax.top_k(fgm.astype(jnp.float32), K)[1]
+        oh = jax.nn.one_hot(idx, A, dtype=pd.dtype)  # (B,K,A)
+        pd_fg = jnp.einsum("bka,bar->bkr", oh, pd)
+        return _compact(pd_fg, idx)
+
+    # ---------------- timing ----------------
+    def timed(name, obj, grad=True):
+        @jax.jit
+        def loop(f0, f1, f2, salt):
+            def body(c, _):
+                fs = tuple(f + c.astype(f.dtype) for f in (f0, f1, f2))
+                if grad:
+                    gs = jax.grad(lambda *g: obj(g).astype(jnp.float32), argnums=(0, 1, 2))(*fs)
+                    r = sum(jnp.sum(jnp.abs(g).astype(jnp.float32)) for g in gs)
+                else:
+                    r = obj(fs).astype(jnp.float32)
+                return (r * 1e-12).astype(jnp.float32), None
+
+            out, _ = jax.lax.scan(body, salt, None, length=iters)
+            return out
+
+        try:
+            t0 = time.perf_counter()
+            float(loop(*feats, jnp.float32(0)))
+            tc = time.perf_counter() - t0
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(loop(*feats, jnp.float32(0)))
+                best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+            print(f"{name:>10}: {best:7.2f} ms  [compile+1 {tc:.0f}s]", flush=True)
+            return best
+        except Exception as e:
+            print(f"{name:>10}: {type(e).__name__}: {str(e)[:250]}", flush=True)
+            return None
+
+    r = {}
+    r["floor"] = timed("floor", floor, grad=False)
+    r["assigner"] = timed("assigner", assigner_fwd, grad=False)
+    r["bce"] = timed("bce", bce_obj)
+    r["decode"] = timed("decode", decode_obj)
+    r["dfl_ce"] = timed("dfl_ce", dflce_obj)
+    r["ciou"] = timed("ciou", ciou_obj)
+    r["full"] = timed("full", full_obj)
+    r["cJ_tal"] = timed("cJ_tal", cJ_tal_obj)
+    r["cJ_oh"] = timed("cJ_oh", cJ_oh_obj)
+    fl = r.get("floor") or 0.0
+    print("\ndeltas over floor (ms):", flush=True)
+    for k, v in r.items():
+        if v is not None and k != "floor":
+            print(f"  {k:>10}: {v - fl:7.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
