@@ -136,3 +136,60 @@ def test_bce_sum_custom_vjp_matches_autodiff():
     assert g16.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(g16, np.float32), np.asarray(g_ref),
                                rtol=0.05, atol=0.05)
+
+
+def test_dfl_ce_custom_vjp_matches_autodiff():
+    """dfl_ce_mean: forward bit-equal to the autodiff body; backward == autodiff
+    in fp32 (weighted, like the loss uses it); bf16 logits -> bf16 gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    from yololite_tpu.utils.loss import v8DetectionLoss, dfl_ce_mean
+
+    L = v8DetectionLoss(80, [8, 16, 32], 16)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 37, 64)) * 2, jnp.float32)
+    t = jnp.asarray(rng.random((2, 37, 4)) * 15.5, jnp.float32)
+    w = jnp.asarray(rng.random((2, 37)), jnp.float32)
+
+    np.testing.assert_array_equal(np.asarray(dfl_ce_mean(x, t)),
+                                  np.asarray(L._df_loss_autodiff(x, t)))
+    f_new = lambda xx: (dfl_ce_mean(xx, t)[..., 0] * w).sum()
+    f_ref = lambda xx: (L._df_loss_autodiff(xx, t)[..., 0] * w).sum()
+    g_new = jax.grad(f_new)(x)
+    g_ref = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
+
+    g16 = jax.grad(lambda xx: (dfl_ce_mean(xx, t)[..., 0] * w).sum())(x.astype(jnp.bfloat16))
+    assert g16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(g16, np.float32), np.asarray(g_ref),
+                               rtol=0.05, atol=0.05)
+
+    # boundary targets (0 and reg_max-1-eps) stay finite through both paths
+    tb = jnp.concatenate([jnp.zeros((2, 37, 2)), jnp.full((2, 37, 2), 14.99)], -1)
+    gb = jax.grad(lambda xx: (dfl_ce_mean(xx, tb)[..., 0] * w).sum())(x)
+    assert bool(jnp.isfinite(gb).all())
+
+
+def test_dfl_expectation_mm_custom_vjp_matches_autodiff():
+    """dfl_expectation_mm: forward bit-equal to the autodiff body; backward ==
+    autodiff under an arbitrary cotangent; bf16 logits -> bf16 gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    from yololite_tpu.ops.decode import dfl_expectation_mm, dfl_expectation_mm_ad
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((3, 41, 64)) * 2, jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((3, 41, 4)), jnp.float32)
+
+    np.testing.assert_array_equal(np.asarray(dfl_expectation_mm(x, 16)),
+                                  np.asarray(dfl_expectation_mm_ad(x, 16)))
+    g_new = jax.grad(lambda xx: (dfl_expectation_mm(xx, 16) * ct).sum())(x)
+    g_ref = jax.grad(lambda xx: (dfl_expectation_mm_ad(xx, 16) * ct).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+    g16 = jax.grad(lambda xx: (dfl_expectation_mm(xx, 16) * ct).sum())(x.astype(jnp.bfloat16))
+    assert g16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(g16, np.float32), np.asarray(g_ref),
+                               rtol=0.05, atol=0.08)

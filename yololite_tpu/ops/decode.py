@@ -7,6 +7,7 @@ Anchors are trace-time constants (static shapes), so there is no shape-keyed cac
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Sequence, Tuple
 
 import jax
@@ -28,6 +29,25 @@ def dfl_expectation(box_logits: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     return jnp.einsum("bafr,r->baf", jax.nn.softmax(x, axis=-1), proj)
 
 
+def _dfl_mm_parts(box_logits: jnp.ndarray, reg_max: int):
+    """Shared fwd body: returns (E, m, Z) — expectation, per-side max, sumexp."""
+    f = box_logits.astype(jnp.float32)
+    m = jnp.max(f.reshape(*f.shape[:-1], 4, reg_max), axis=-1)  # (.., A, 4)
+    c = jnp.repeat(m, reg_max, axis=-1)  # per-side shift, back in lane layout
+    e = jnp.exp(f - c)
+    seg = jnp.repeat(jnp.eye(4, dtype=jnp.float32), reg_max, axis=0)  # (4*reg_max, 4)
+    proj = jnp.tile(jnp.arange(reg_max, dtype=jnp.float32), 4)[:, None] * seg
+    z = e @ seg
+    return (e @ proj) / z, m, z
+
+
+def dfl_expectation_mm_ad(box_logits: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
+    """Autodiff-backward variant of dfl_expectation_mm (A/B reference for the
+    custom-vjp form; same forward bits)."""
+    return _dfl_mm_parts(box_logits, reg_max)[0]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def dfl_expectation_mm(box_logits: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     """(.., A, 4*reg_max) -> (.., A, 4): same expectation, MXU-friendly form.
 
@@ -42,14 +62,31 @@ def dfl_expectation_mm(box_logits: jnp.ndarray, reg_max: int = 16) -> jnp.ndarra
     0/0 = NaN. Mathematically identical to dfl_expectation (float rounding
     ~1e-6 relative); measured ~2x faster than the softmax-einsum on v5e in
     the decode tail (docs/PERF.md round 3).
+
+    Backward is a custom vjp (the train-step loss-tail lever, docs/PERF.md
+    round 4): dE/dx_j = softmax_j * (proj_j - E) per side, so the cotangent is
+    ONE fused elementwise pass over the (B, A, 4*reg_max) logits emitted in
+    the logits' dtype — autodiff instead transposes the two segment matmuls
+    into f32 (B, A, 4*reg_max) intermediates.
     """
-    f = box_logits.astype(jnp.float32)
-    m = jnp.max(f.reshape(*f.shape[:-1], 4, reg_max), axis=-1)  # (.., A, 4)
-    c = jnp.repeat(m, reg_max, axis=-1)  # per-side shift, back in lane layout
-    e = jnp.exp(f - c)
-    seg = jnp.repeat(jnp.eye(4, dtype=jnp.float32), reg_max, axis=0)  # (4*reg_max, 4)
-    proj = jnp.tile(jnp.arange(reg_max, dtype=jnp.float32), 4)[:, None] * seg
-    return (e @ proj) / (e @ seg)
+    return _dfl_mm_parts(box_logits, reg_max)[0]
+
+
+def _dfl_mm_fwd(box_logits, reg_max):
+    out, m, z = _dfl_mm_parts(box_logits, reg_max)
+    return out, (box_logits, m, z, out)
+
+
+def _dfl_mm_bwd(reg_max, res, g):
+    x, m, z, out = res
+    rep = lambda t: jnp.repeat(t, reg_max, axis=-1)  # (.., 4) -> (.., 4R)
+    sm = jnp.exp(x.astype(jnp.float32) - rep(m)) / rep(z)
+    proj = jnp.tile(jnp.arange(reg_max, dtype=jnp.float32), 4)
+    dx = (sm * (proj - rep(out)) * rep(g)).astype(x.dtype)
+    return (dx,)
+
+
+dfl_expectation_mm.defvjp(_dfl_mm_fwd, _dfl_mm_bwd)
 
 
 def decode_detections(

@@ -88,41 +88,14 @@ class v8DetectionLoss:
         return dist2bbox(pred_dist, anchor_points, xywh=False)
 
     def _df_loss(self, pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-        """Distribution focal loss (reference loss.py:21-36).
+        """Distribution focal loss (reference loss.py:21-36) — custom-vjp form."""
+        return dfl_ce_mean(pred_dist, target)
 
-        pred_dist: (B, A, 4*reg_max) flat logits; target: (B, A, 4) continuous
-        bins. Returns (B, A, 1): mean over the 4 sides.
-
-        Stays in the native 4*reg_max-wide lane layout for the heavy elementwise
-        work: per-side logsumexp via a (4R -> 4) segment matmul shifted by each
-        SIDE's own max (so e@seg >= exp(0) = 1 and the lse can never hit
-        log(0) = -inf, unlike a shared per-row shift), and the target-bin logit
-        extracted with a disjoint-block multi-hot — no (B,A,4,R) log_softmax
-        materialization, no gather.
-        """
-        R = self.reg_max
-        x = pred_dist.astype(jnp.float32)  # (B, A, 4R)
-        target = target.clip(0, R - 1 - 0.01)
-        tl = target.astype(jnp.int32)
-        tr = tl + 1
-        wl = (tr.astype(jnp.float32) - target.astype(jnp.float32))
-        wr = 1 - wl
-
-        m = jnp.max(x.reshape(*x.shape[:-1], 4, R), axis=-1)  # (B, A, 4)
-        e = jnp.exp(x - jnp.repeat(m, R, axis=-1))
-        seg = jnp.repeat(jnp.eye(4, dtype=jnp.float32), R, axis=0)  # (4R, 4)
-        lse = jnp.log(e @ seg) + m  # (B, A, 4) per-side logsumexp
-
-        base = (jnp.arange(4, dtype=jnp.int32) * R)[None, None, :]
-        bins = jnp.arange(4 * R, dtype=jnp.int32)
-        # one 1 per side block; compare+sum fuses without materializing (B,A,4,4R)
-        mh_l = (bins[None, None, None, :] == (tl + base)[..., None]).astype(jnp.float32).sum(-2)
-        mh_r = (bins[None, None, None, :] == (tr.clip(max=R - 1) + base)[..., None]).astype(jnp.float32).sum(-2)
-        x_l = (x * mh_l) @ seg  # (B, A, 4): the chosen bin's logit per side
-        x_r = (x * mh_r) @ seg
-        ce_l = lse - x_l
-        ce_r = lse - x_r
-        return (ce_l * wl + ce_r * wr).mean(-1, keepdims=True)
+    def _df_loss_autodiff(self, pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        """Autodiff-backward DFL CE (A/B reference for the custom vjp; same
+        forward bits as dfl_ce_mean)."""
+        ce, _ = _dfl_ce_parts(pred_dist, target)
+        return ce
 
     def __call__(self, feats: List[jnp.ndarray], targets: Dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """feats: per-level (B, H, W, no) NHWC maps; targets: padded gt dict."""
@@ -185,6 +158,87 @@ class v8DetectionLoss:
 
         loss_items = jnp.stack([loss_box * self.hyp_box, loss_cls * self.hyp_cls, loss_dfl * self.hyp_dfl])
         return loss_items.sum() * batch_size, jax.lax.stop_gradient(loss_items)
+
+
+def _dfl_ce_parts(pred_dist: jnp.ndarray, target: jnp.ndarray):
+    """Shared DFL-CE forward body.
+
+    pred_dist: (B, A, 4*R) flat logits; target: (B, A, 4) continuous bins.
+    Returns (ce, residuals) where ce is (B, A, 1) — mean over the 4 sides.
+
+    Stays in the native 4*reg_max-wide lane layout for the heavy elementwise
+    work: per-side logsumexp via a (4R -> 4) segment matmul shifted by each
+    SIDE's own max (so e@seg >= exp(0) = 1 and the lse can never hit
+    log(0) = -inf, unlike a shared per-row shift), and the target-bin logit
+    extracted with a disjoint-block multi-hot — no (B,A,4,R) log_softmax
+    materialization, no gather.
+    """
+    R = pred_dist.shape[-1] // 4
+    x = pred_dist.astype(jnp.float32)  # (B, A, 4R)
+    target = target.clip(0, R - 1 - 0.01)
+    tl = target.astype(jnp.int32)
+    tr = tl + 1
+    wl = (tr.astype(jnp.float32) - target.astype(jnp.float32))
+    wr = 1 - wl
+
+    m = jnp.max(x.reshape(*x.shape[:-1], 4, R), axis=-1)  # (B, A, 4)
+    e = jnp.exp(x - jnp.repeat(m, R, axis=-1))
+    seg = jnp.repeat(jnp.eye(4, dtype=jnp.float32), R, axis=0)  # (4R, 4)
+    z = e @ seg  # (B, A, 4) per-side sumexp (of the shifted logits)
+    lse = jnp.log(z) + m  # (B, A, 4) per-side logsumexp
+
+    base = (jnp.arange(4, dtype=jnp.int32) * R)[None, None, :]
+    bins = jnp.arange(4 * R, dtype=jnp.int32)
+    # one 1 per side block; compare+sum fuses without materializing (B,A,4,4R)
+    mh_l = (bins[None, None, None, :] == (tl + base)[..., None]).astype(jnp.float32).sum(-2)
+    mh_r = (bins[None, None, None, :] == (tr.clip(max=R - 1) + base)[..., None]).astype(jnp.float32).sum(-2)
+    x_l = (x * mh_l) @ seg  # (B, A, 4): the chosen bin's logit per side
+    x_r = (x * mh_r) @ seg
+    ce_l = lse - x_l
+    ce_r = lse - x_r
+    ce = (ce_l * wl + ce_r * wr).mean(-1, keepdims=True)
+    return ce, (m, z, tl, tr, wl, wr)
+
+
+@jax.custom_vjp
+def dfl_ce_mean(pred_dist: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """DFL cross-entropy, mean over the 4 sides -> (B, A, 1), with a fused
+    analytic backward (the train-step loss-tail lever, docs/PERF.md round 4).
+
+    d ce / d x_j = (softmax_j - y_j) / 4 per side, where y is the two-hot
+    interpolation weight vector (wl at tl, wr at tr) — the classic CE
+    gradient. The cotangent is ONE fused elementwise pass over the
+    (B, A, 4*reg_max) logits, emitted in the logits' dtype (bf16 under amp);
+    autodiff instead carries the lse/multi-hot chain as several f32
+    (B, A, 4*reg_max) intermediates through the transpose. Targets are
+    expected non-differentiable (assignment outputs are stop_gradient'd).
+    """
+    ce, _ = _dfl_ce_parts(pred_dist, target)
+    return ce
+
+
+def _dfl_ce_fwd(pred_dist, target):
+    ce, (m, z, tl, tr, wl, wr) = _dfl_ce_parts(pred_dist, target)
+    return ce, (pred_dist, target, m, z, tl, tr, wl, wr)
+
+
+def _dfl_ce_bwd(res, g):
+    x, target, m, z, tl, tr, wl, wr = res
+    R = x.shape[-1] // 4
+    rep = lambda t: jnp.repeat(t, R, axis=-1)  # (B, A, 4) -> (B, A, 4R)
+    sm = jnp.exp(x.astype(jnp.float32) - rep(m)) / rep(z)
+    base = (jnp.arange(4, dtype=jnp.int32) * R)[None, None, :]
+    bins = jnp.arange(4 * R, dtype=jnp.int32)
+    # two-hot target distribution y, built by the same fused compare+sum trick
+    y = ((bins[None, None, None, :] == (tl + base)[..., None]).astype(jnp.float32)
+         * wl[..., None]).sum(-2)
+    y = y + ((bins[None, None, None, :] == (tr.clip(max=R - 1) + base)[..., None])
+             .astype(jnp.float32) * wr[..., None]).sum(-2)
+    dx = ((sm - y) * (g * 0.25)).astype(x.dtype)  # g (B,A,1) broadcasts over 4R
+    return dx, jnp.zeros_like(target)
+
+
+dfl_ce_mean.defvjp(_dfl_ce_fwd, _dfl_ce_bwd)
 
 
 def optax_sigmoid_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
