@@ -99,6 +99,45 @@ def main(bs=64, iters=20):
             anchor_points * stride_tensor, gl, gb, mg)
         return jnp.sum(ts.astype(jnp.float32)) + jnp.sum(tb) + jnp.sum(fg)
 
+    def tal_metrics_obj(fs):
+        # assigner sub-stage: candidate mask + align-metric/CIoU grid only
+        pd, ps = split(fs)
+        pb = dist2bbox(dfl_expectation_mm(pd, R), anchor_points, xywh=False)
+        am, ov = assigner._get_box_metrics(
+            jax.nn.sigmoid(ps).astype(jnp.float32),
+            (pb * stride_tensor).astype(gb.dtype), gl, gb,
+            (jnp.ones((bs, MG, A), jnp.float32) * mg))
+        return jnp.sum(am) + jnp.sum(ov)
+
+    def tal_topk_old_obj(fs):
+        # metrics + hierarchical (value,index) top-k count mask (pre-r4 path)
+        from yololite_tpu.utils.tal import topk_hierarchical
+
+        pd, ps = split(fs)
+        pb = dist2bbox(dfl_expectation_mm(pd, R), anchor_points, xywh=False)
+        am, _ = assigner._get_box_metrics(
+            jax.nn.sigmoid(ps).astype(jnp.float32),
+            (pb * stride_tensor).astype(gb.dtype), gl, gb,
+            (jnp.ones((bs, MG, A), jnp.float32) * mg))
+        _, idx = topk_hierarchical(am, assigner.topk)
+        idx = jnp.where(mg > 0, idx, 0)
+        count = (idx[..., None] == jnp.arange(A, dtype=idx.dtype)).sum(-2, dtype=jnp.int32)
+        count = jnp.where(count > 1, 0, count)
+        return jnp.sum(count.astype(jnp.float32) * am)
+
+    def tal_topk_new_obj(fs):
+        # metrics + value-threshold membership mask (r4 default path)
+        from yololite_tpu.utils.tal import topk_mask_by_threshold
+
+        pd, ps = split(fs)
+        pb = dist2bbox(dfl_expectation_mm(pd, R), anchor_points, xywh=False)
+        am, _ = assigner._get_box_metrics(
+            jax.nn.sigmoid(ps).astype(jnp.float32),
+            (pb * stride_tensor).astype(gb.dtype), gl, gb,
+            (jnp.ones((bs, MG, A), jnp.float32) * mg))
+        sel = topk_mask_by_threshold(am, assigner.topk) & (mg > 0)
+        return jnp.sum(sel.astype(jnp.float32) * am)
+
     def bce_obj(fs):
         _, ps = split(fs)
         return bce_sum(ps, tsc)
@@ -107,10 +146,21 @@ def main(bs=64, iters=20):
         pd, _ = split(fs)
         return jnp.sum(dfl_expectation_mm(pd, R))
 
+    def decode_ad_obj(fs):  # autodiff-backward A/B reference
+        from yololite_tpu.ops.decode import dfl_expectation_mm_ad
+
+        pd, _ = split(fs)
+        return jnp.sum(dfl_expectation_mm_ad(pd, R))
+
     def dflce_obj(fs):
         pd, _ = split(fs)
         tl = bbox2dist(anchor_points, tbb / stride_tensor, R - 1)
         return jnp.sum(loss_fn._df_loss(pd, tl))
+
+    def dflce_ad_obj(fs):  # autodiff-backward A/B reference
+        pd, _ = split(fs)
+        tl = bbox2dist(anchor_points, tbb / stride_tensor, R - 1)
+        return jnp.sum(loss_fn._df_loss_autodiff(pd, tl))
 
     def ciou_obj(fs):
         pd, _ = split(fs)
@@ -179,9 +229,14 @@ def main(bs=64, iters=20):
     r = {}
     r["floor"] = timed("floor", floor, grad=False)
     r["assigner"] = timed("assigner", assigner_fwd, grad=False)
+    r["tal_metrics"] = timed("tal_metrics", tal_metrics_obj, grad=False)
+    r["tal_topk_old"] = timed("tal_topk_old", tal_topk_old_obj, grad=False)
+    r["tal_topk_new"] = timed("tal_topk_new", tal_topk_new_obj, grad=False)
     r["bce"] = timed("bce", bce_obj)
     r["decode"] = timed("decode", decode_obj)
+    r["decode_ad"] = timed("decode_ad", decode_ad_obj)
     r["dfl_ce"] = timed("dfl_ce", dflce_obj)
+    r["dfl_ce_ad"] = timed("dfl_ce_ad", dflce_ad_obj)
     r["ciou"] = timed("ciou", ciou_obj)
     r["full"] = timed("full", full_obj)
     r["cJ_tal"] = timed("cJ_tal", cJ_tal_obj)
