@@ -435,3 +435,52 @@ def test_blocked_keep_matches_serial_greedy():
     ref3 = ref_keep(jnp.asarray(one_b), jnp.asarray(valid_all))
     np.testing.assert_array_equal(got3, ref3)
     assert got3.sum() == B  # exactly one survivor per image
+
+
+def test_take_rows_blocked_exact():
+    """take_rows_blocked == take_along_axis row gather, bit-for-bit, every
+    dtype/shape/block incl. A not divisible by block and repeated indices."""
+    import jax.numpy as jnp
+
+    from yololite_tpu.ops.decode import take_rows_blocked
+
+    rng = np.random.default_rng(3)
+    for a, w, k, block in [(8400, 64, 300, 16), (100, 4, 7, 16), (33, 1, 40, 8)]:
+        x = rng.standard_normal((2, a, w)).astype(np.float32)
+        idx = rng.integers(0, a, (2, k)).astype(np.int32)
+        idx[:, :2] = idx[:, 2:4]  # repeated indices must replicate rows
+        for dt in (jnp.float32, jnp.bfloat16):
+            xd = jnp.asarray(x, dt)
+            got = np.asarray(take_rows_blocked(xd, jnp.asarray(idx), block), np.float32)
+            ref = np.asarray(xd, np.float32)[np.arange(2)[:, None], idx]
+            np.testing.assert_array_equal(got, ref, err_msg=f"a={a} w={w} block={block} {dt}")
+
+
+def test_nms_from_feats_gather_modes_identical():
+    """All three GATHER_MODE forms (ohg / blocked / dfl_all) emit bit-identical
+    detections, f32 and bf16."""
+    import jax.numpy as jnp
+
+    from yololite_tpu.ops import nms as nms_mod
+    from yololite_tpu.ops.nms import nms_from_feats
+
+    nc, reg_max, strides = 8, 16, (8, 16, 32)
+    rng = np.random.default_rng(7)
+    for half in (False, True):
+        feats = [
+            jnp.asarray(rng.standard_normal((2, s, s, 4 * reg_max + nc)).astype(np.float32) * 2)
+            for s in (16, 8, 4)
+        ]
+        if half:
+            feats = [f.astype(jnp.bfloat16) for f in feats]
+        kw = dict(conf_thres=0.05, iou_thres=0.5, max_det=40, max_cand=128, half=half)
+        old = nms_mod.GATHER_MODE
+        try:
+            outs = {}
+            for gm in ("ohg", "blocked", "dfl_all"):
+                nms_mod.GATHER_MODE = gm
+                outs[gm] = np.asarray(nms_from_feats(feats, strides, nc, reg_max, **kw))
+        finally:
+            nms_mod.GATHER_MODE = old
+        np.testing.assert_array_equal(outs["ohg"], outs["dfl_all"], err_msg=f"half={half}")
+        np.testing.assert_array_equal(outs["ohg"], outs["blocked"], err_msg=f"half={half}")

@@ -195,6 +195,14 @@ def main(bs=64, iters=20):
         pd_fg = jnp.einsum("bka,bar->bkr", oh, pd)
         return _compact(pd_fg, idx)
 
+    def cJ_blk_obj(fs):
+        from yololite_tpu.ops.decode import take_rows_blocked
+
+        pd, _ = split(fs)
+        idx = jax.lax.top_k(fgm.astype(jnp.float32), K)[1]
+        pd_fg = take_rows_blocked(pd, idx, 16)  # two-level one-hot gather
+        return _compact(pd_fg, idx)
+
     # ---------------- timing ----------------
     def timed(name, obj, grad=True):
         @jax.jit
@@ -241,6 +249,7 @@ def main(bs=64, iters=20):
     r["full"] = timed("full", full_obj)
     r["cJ_tal"] = timed("cJ_tal", cJ_tal_obj)
     r["cJ_oh"] = timed("cJ_oh", cJ_oh_obj)
+    r["cJ_blk"] = timed("cJ_blk", cJ_blk_obj)
     fl = r.get("floor") or 0.0
     print("\ndeltas over floor (ms):", flush=True)
     for k, v in r.items():

@@ -4,14 +4,13 @@ e2e at bs=128 is ~16.4 ms vs forward-only ~14.5 ms (docs/PERF.md round 3);
 this splits the ~1.9 ms tail into its pipeline stages to direct the 0.45-SoL
 push now that the stem program is closed (round-4 verdicts):
 
-  fwd          model.apply only
-  +select      + per-level sigmoid/max/top-k + merge     (nms_from_feats 1+2)
-  +dfl_all     + DFL expectation over ALL anchors        (step 3a)
-  +gather      + narrow gathers + arithmetic anchors     (steps 3b+4)
-  full         + fixpoint suppression + finalize         (step 5)
-  alt_ohg      variant: one-hot-matmul gather of the (K, 4R) candidate box
-               logits + DFL on K rows only (replaces dfl_all; the wide row
-               gather is the known TPU pathology — the MXU form may not be)
+Round-4 queue5 form: A/B the full pipeline under each candidate-logit gather
+mode (nms.GATHER_MODE) — dfl_all (decode-all + narrow gather), ohg (flat
+one-hot matmul), blocked (two-level one-hot, block 8/16/32) — plus the fwd
+and +select reference stages. All modes emit bit-identical detections
+(tests/test_ops.py::test_nms_from_feats_gather_modes_identical); the fastest
+one becomes the default. Queue3's stage decomposition (fwd/+select/+dfl_all/
++gather/full/alt_ohg) is preserved as unused stage fns for manual runs.
 
 Scan-chained timing (docs/PERF.md). Usage: python tools/tail_profile.py [bs] [iters]
 """
@@ -95,13 +94,21 @@ def main(bs=128, iters=20):
         cls_k = jax.vmap(lambda c, i: c[i])(cls_all, bidx)
         return jnp.sum(dist) + jnp.sum(cls_k) + jnp.sum(vals.astype(jnp.float32))
 
-    def stage_full(p, s, x):
-        from yololite_tpu.ops.nms import nms_from_feats
+    def _full_with_mode(gm, blk=16):
+        def fn(p, s, x):
+            from yololite_tpu.ops import nms as nms_mod
+            from yololite_tpu.ops.nms import nms_from_feats
 
-        feats = model.apply(p, s, x, train=False)
-        return jnp.sum(nms_from_feats(
-            feats, strides, nc, reg_max, conf_thres=conf_thres, iou_thres=iou_thres,
-            max_det=max_det, max_cand=K, half=True))
+            nms_mod.GATHER_MODE = gm  # trace-time constant; each stage re-traces
+            nms_mod.GATHER_BLOCK = blk
+            feats = model.apply(p, s, x, train=False)
+            return jnp.sum(nms_from_feats(
+                feats, strides, nc, reg_max, conf_thres=conf_thres, iou_thres=iou_thres,
+                max_det=max_det, max_cand=K, half=True))
+
+        return fn
+
+    stage_full = _full_with_mode("dfl_all")
 
     def stage_alt_ohg(p, s, x):
         feats = model.apply(p, s, x, train=False)
@@ -143,17 +150,16 @@ def main(bs=128, iters=20):
             return None
 
     r = {}
-    for name, fn in (("fwd", stage_fwd), ("+select", stage_select),
-                     ("+dfl_all", stage_dfl_all), ("+gather", stage_gather),
-                     ("full", stage_full), ("alt_ohg", stage_alt_ohg)):
+    for name, fn in (("full_dflall", stage_full),
+                     ("full_ohg", _full_with_mode("ohg")),
+                     ("full_blk8", _full_with_mode("blocked", 8)),
+                     ("full_blk16", _full_with_mode("blocked", 16)),
+                     ("full_blk32", _full_with_mode("blocked", 32)),
+                     ("fwd", stage_fwd), ("+select", stage_select)):
         r[name] = timed(name, fn)
-    if all(r.get(k) for k in ("fwd", "+select", "+dfl_all", "+gather", "full")):
-        print(f"deltas: select {r['+select'] - r['fwd']:.2f} | dfl_all "
-              f"{r['+dfl_all'] - r['+select']:.2f} | gather {r['+gather'] - r['+dfl_all']:.2f} | "
-              f"suppress+finalize {r['full'] - r['+gather']:.2f}", flush=True)
-    if r.get("alt_ohg") and r.get("+gather"):
-        print(f"alt one-hot-gather vs dfl_all+gather: {r['alt_ohg']:.2f} vs {r['+gather']:.2f} ms",
-              flush=True)
+    best = min((v, k) for k, v in r.items() if v and k.startswith("full"))
+    print(f"fastest full pipeline: {best[1]} at {best[0]:.2f} ms/batch "
+          f"({bs / best[0] * 1e3:.1f} img/s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,31 @@ def _dfl_mm_parts(box_logits: jnp.ndarray, reg_max: int):
     return (e @ proj) / z, m, z
 
 
+def take_rows_blocked(x: jnp.ndarray, idx: jnp.ndarray, block: int = 16) -> jnp.ndarray:
+    """Exact row gather x[..., idx, :] as two one-hot contractions (TPU form).
+
+    x: (..., A, W), idx: (..., K) int32 -> (..., K, W), bit-identical to
+    jnp.take_along_axis on the row axis. TPU lowers row gathers to ~K serial
+    dynamic slices (per-dispatch latency bound) and the flat one-hot matmul
+    alternative moves a (K, A) operand through HBM; decomposing
+    idx = hi*block + lo keeps the one-hot operand at (K, A/block) and the
+    intermediate at (K, block, W) — both MXU/VPU-dense, no serialization.
+    Each output element is the sum of exactly one nonzero product, so the
+    result reproduces the input rows exactly in any dtype (f32 MXU
+    accumulation passes the single value through unrounded).
+    """
+    a, w = x.shape[-2], x.shape[-1]
+    pad = (-a) % block
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)])
+    nhi = (a + pad) // block
+    oh_hi = jax.nn.one_hot(idx // block, nhi, dtype=x.dtype)  # (..., K, nhi)
+    xb = x.reshape(*x.shape[:-2], nhi, block * w)
+    y = (oh_hi @ xb).reshape(*idx.shape, block, w)  # (..., K, block, W)
+    oh_lo = jax.nn.one_hot(idx % block, block, dtype=x.dtype)  # (..., K, block)
+    return jnp.einsum("...kbw,...kb->...kw", y, oh_lo)
+
+
 def dfl_expectation_mm_ad(box_logits: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     """Autodiff-backward variant of dfl_expectation_mm (A/B reference for the
     custom-vjp form; same forward bits)."""

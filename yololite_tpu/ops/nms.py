@@ -215,6 +215,22 @@ def _blocked_keep(shifted: jnp.ndarray, valid: jnp.ndarray, iou_thres: float,
 # set before the first NMS call of the process.
 LARGE_K_MODE = "blocked"
 
+# Candidate-logit gather strategy for nms_from_feats step 3 (trace-time
+# constants; all three forms emit bit-identical detections — gated by
+# tests/test_ops.py::test_nms_from_feats_gather_modes_identical):
+#   "ohg"     flat one-hot (K, A) MXU matmul of the box logits + K-row DFL
+#             (measured 16.70 vs 17.23 ms/batch vs dfl_all at bs=128/K=300,
+#             docs/r4_queue3_results.log)
+#   "blocked" two-level one-hot gather (decode.take_rows_blocked) + K-row DFL:
+#             idx = hi*block + lo keeps the one-hot at (K, A/block) and the
+#             intermediate at (K, block, 4R) — ~2x less HBM traffic than "ohg"
+#   "dfl_all" DFL expectation for ALL anchors (segment matmuls) + narrow (K,4)
+#             gathers — the only form that scales to validator-sized K, so K >
+#             OHG_MAX_K always uses it (a (B, 8192, 8400) one-hot is ~HBM-sized)
+GATHER_MODE = "ohg"
+OHG_MAX_K = 1024
+GATHER_BLOCK = 16
+
 
 def _keep_large_k(shifted: jnp.ndarray, valid: jnp.ndarray, iou_thres: float) -> jnp.ndarray:
     if LARGE_K_MODE == "fixpoint":
@@ -353,9 +369,10 @@ def nms_from_feats(
     2. exact per-level top-k then a merge top-k (each global top-K element is
        in its level's top-K, and level-major merge order preserves lax.top_k's
        lowest-index tie rule) — same (vals, bidx) as one 8400-row top_k;
-    3. DFL for all anchors in the MXU-friendly segment-matmul form
-       (decode.dfl_expectation_mm), then NARROW (K,4)/(K,) gathers — wide
-       (K,64) row-gathers are the pathology on TPU (~3.7 ms);
+    3. candidate box logits via a one-hot MXU matmul (K <= OHG_MAX_K) feeding a
+       K-row DFL, or DFL-all (decode.dfl_expectation_mm) + narrow (K,4) gathers
+       at validator-sized K — either way no wide (K,64) row-gather, the TPU
+       pathology (~3.7 ms);
     4. anchor centers/strides rebuilt arithmetically from the candidate index
        (level offsets are static) instead of gathered;
     5. fixpoint-sweep greedy suppression + compaction finalize (_finalize).
@@ -413,15 +430,33 @@ def nms_from_feats(
     else:
         bidx = sel
 
-    # 3: decode all anchors (MXU segment matmuls), gather only narrow results
+    # 3: candidate box logits -> DFL expectation, by GATHER_MODE (see the
+    # constants above; all forms bit-identical, picked by measurement).
     box_logits = jnp.concatenate(
         [f[..., : 4 * reg_max].reshape(B, -1, 4 * reg_max) for f in feats], axis=1
     )
-    dist_all = dfl_expectation_mm(box_logits, reg_max)  # (B, A, 4) f32
-    dist = jax.vmap(lambda d, i: d[i])(dist_all, bidx)  # narrow (K, 4) gather
+    gm = GATHER_MODE if k <= OHG_MAX_K else "dfl_all"
+    if gm == "ohg":
+        A = box_logits.shape[1]
+        oh = jax.nn.one_hot(bidx, A, dtype=box_logits.dtype)  # (B, K, A)
+        cand_logits = jnp.einsum("bka,bar->bkr", oh, box_logits)
+        dist = dfl_expectation_mm(cand_logits, reg_max)  # (B, K, 4) f32
+    elif gm == "blocked":
+        from yololite_tpu.ops.decode import take_rows_blocked
+
+        cand_logits = take_rows_blocked(box_logits, bidx, GATHER_BLOCK)
+        dist = dfl_expectation_mm(cand_logits, reg_max)  # (B, K, 4) f32
+    else:
+        dist_all = dfl_expectation_mm(box_logits, reg_max)  # (B, A, 4) f32
+        dist = jax.vmap(lambda d, i: d[i])(dist_all, bidx)  # narrow (K, 4) gather
     if not ml:
         cls_all = jnp.concatenate(clss, axis=1).astype(jnp.float32)
-        cls_k = jax.vmap(lambda c, i: c[i])(cls_all, bidx)
+        if gm == "blocked":
+            from yololite_tpu.ops.decode import take_rows_blocked
+
+            cls_k = take_rows_blocked(cls_all[..., None], bidx, GATHER_BLOCK)[..., 0]
+        else:
+            cls_k = jax.vmap(lambda c, i: c[i])(cls_all, bidx)
 
     # 4: arithmetic anchors (grid x/y + 0.5, per-level stride) from bidx
     offs, Ws, Ss = [], [], []
