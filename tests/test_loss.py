@@ -193,3 +193,44 @@ def test_dfl_expectation_mm_custom_vjp_matches_autodiff():
     assert g16.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(g16, np.float32), np.asarray(g_ref),
                                rtol=0.05, atol=0.08)
+
+
+def test_compact_box_loss_matches_dense():
+    """COMPACT_BOX_LOSS gathers only the <= topk*M fg rows; loss values and
+    feature gradients must match the dense masked form (same math, rows with
+    weight 0 dropped)."""
+    import jax
+
+    import yololite_tpu.utils.loss as loss_mod
+
+    loss = v8DetectionLoss(nc=7, strides=[8, 16, 32])
+    B, S = 3, 96
+    shapes = [(S // s, S // s) for s in (8, 16, 32)]
+    rng = np.random.default_rng(3)
+    feats = [jnp.asarray(rng.standard_normal((B, h, w, 7 + 64), dtype=np.float32)) for h, w in shapes]
+    n = 5
+    targets = build_targets(
+        {
+            "batch_idx": np.repeat(np.arange(B, dtype=np.float32), n),
+            "cls": rng.integers(0, 7, (B * n, 1)).astype(np.float32),
+            "bboxes": np.clip(rng.random((B * n, 4)) * 0.4 + 0.3, 0.05, 0.95).astype(np.float32),
+        },
+        B, (S, S), max_gt=8,
+    )
+    targets = {k: jnp.asarray(v) for k, v in targets.items()}
+
+    def run(compact):
+        loss_mod.COMPACT_BOX_LOSS = compact
+        try:
+            total, items = jax.jit(lambda fs: loss(fs, targets))(feats)
+            grads = jax.grad(lambda fs: loss(fs, targets)[0])(feats)
+        finally:
+            loss_mod.COMPACT_BOX_LOSS = False
+        return np.asarray(total), np.asarray(items), [np.asarray(g) for g in grads]
+
+    td, id_, gd = run(False)
+    tc, ic, gc = run(True)
+    np.testing.assert_allclose(tc, td, rtol=1e-6)
+    np.testing.assert_allclose(ic, id_, rtol=1e-6)
+    for a, b in zip(gc, gd):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)

@@ -86,26 +86,6 @@ def test_tal_parity(seed):
     )
 
 
-def test_topk_threshold_mask_matches_hierarchical():
-    """topk_mask_by_threshold == membership of topk_hierarchical's selection,
-    bit-for-bit, including heavy ties and all-equal rows."""
-    from yololite_tpu.utils.tal import topk_hierarchical, topk_mask_by_threshold
-
-    rng = np.random.default_rng(0)
-    for k, shape, quant in [(10, (2, 6, 84), 0), (13, (3, 4, 367), 4),
-                            (10, (1, 2, 8400), 2), (5, (2, 3, 5), 0)]:
-        m = rng.uniform(0, 1, shape).astype(np.float32)
-        if quant:  # force value ties at the k-th boundary
-            m = np.round(m * quant) / quant
-        m[0, 0] = 0.0  # all-equal row: must select the first k anchors
-        mj = jnp.asarray(m)
-        _, idx = topk_hierarchical(mj, min(k, shape[-1]))
-        ref = np.zeros(shape, bool)
-        np.put_along_axis(ref.reshape(-1, shape[-1]), np.asarray(idx).reshape(-1, idx.shape[-1]), True, axis=-1)
-        got = np.asarray(topk_mask_by_threshold(mj, k))
-        np.testing.assert_array_equal(got, ref, err_msg=f"k={k} shape={shape} quant={quant}")
-
-
 def test_tal_no_gt():
     pd_scores, pd_bboxes, anc, gt_labels, gt_bboxes, mask_gt = _scene(0)
     mask_gt[:] = 0

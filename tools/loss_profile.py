@@ -125,19 +125,6 @@ def main(bs=64, iters=20):
         count = jnp.where(count > 1, 0, count)
         return jnp.sum(count.astype(jnp.float32) * am)
 
-    def tal_topk_new_obj(fs):
-        # metrics + value-threshold membership mask (r4 default path)
-        from yololite_tpu.utils.tal import topk_mask_by_threshold
-
-        pd, ps = split(fs)
-        pb = dist2bbox(dfl_expectation_mm(pd, R), anchor_points, xywh=False)
-        am, _ = assigner._get_box_metrics(
-            jax.nn.sigmoid(ps).astype(jnp.float32),
-            (pb * stride_tensor).astype(gb.dtype), gl, gb,
-            (jnp.ones((bs, MG, A), jnp.float32) * mg))
-        sel = topk_mask_by_threshold(am, assigner.topk) & (mg > 0)
-        return jnp.sum(sel.astype(jnp.float32) * am)
-
     def bce_obj(fs):
         _, ps = split(fs)
         return bce_sum(ps, tsc)
@@ -169,6 +156,16 @@ def main(bs=64, iters=20):
         return jnp.sum((1.0 - iou) * fgm.astype(jnp.float32))
 
     def full_obj(fs):
+        import yololite_tpu.utils.loss as loss_mod
+
+        loss_mod.COMPACT_BOX_LOSS = False  # trace-time constant; stage re-traces
+        total, _ = loss_fn(list(fs), targets)
+        return total
+
+    def full_compact_obj(fs):
+        import yololite_tpu.utils.loss as loss_mod
+
+        loss_mod.COMPACT_BOX_LOSS = True
         total, _ = loss_fn(list(fs), targets)
         return total
 
@@ -234,22 +231,30 @@ def main(bs=64, iters=20):
             print(f"{name:>10}: {type(e).__name__}: {str(e)[:250]}", flush=True)
             return None
 
+    stages = {
+        "floor": (floor, False),
+        "assigner": (assigner_fwd, False),
+        "tal_metrics": (tal_metrics_obj, False),
+        "tal_topk_old": (tal_topk_old_obj, False),
+        "bce": (bce_obj, True),
+        "decode": (decode_obj, True),
+        "decode_ad": (decode_ad_obj, True),
+        "dfl_ce": (dflce_obj, True),
+        "dfl_ce_ad": (dflce_ad_obj, True),
+        "ciou": (ciou_obj, True),
+        "full": (full_obj, True),
+        "full_compact": (full_compact_obj, True),
+        "cJ_tal": (cJ_tal_obj, True),
+        "cJ_oh": (cJ_oh_obj, True),
+        "cJ_blk": (cJ_blk_obj, True),
+    }
+    only = os.environ.get("LOSSPROFILE_STAGES")  # comma-separated subset
+    pick = set(s.strip() for s in only.split(",")) if only else set(stages)
+    pick.add("floor")  # deltas need the floor
     r = {}
-    r["floor"] = timed("floor", floor, grad=False)
-    r["assigner"] = timed("assigner", assigner_fwd, grad=False)
-    r["tal_metrics"] = timed("tal_metrics", tal_metrics_obj, grad=False)
-    r["tal_topk_old"] = timed("tal_topk_old", tal_topk_old_obj, grad=False)
-    r["tal_topk_new"] = timed("tal_topk_new", tal_topk_new_obj, grad=False)
-    r["bce"] = timed("bce", bce_obj)
-    r["decode"] = timed("decode", decode_obj)
-    r["decode_ad"] = timed("decode_ad", decode_ad_obj)
-    r["dfl_ce"] = timed("dfl_ce", dflce_obj)
-    r["dfl_ce_ad"] = timed("dfl_ce_ad", dflce_ad_obj)
-    r["ciou"] = timed("ciou", ciou_obj)
-    r["full"] = timed("full", full_obj)
-    r["cJ_tal"] = timed("cJ_tal", cJ_tal_obj)
-    r["cJ_oh"] = timed("cJ_oh", cJ_oh_obj)
-    r["cJ_blk"] = timed("cJ_blk", cJ_blk_obj)
+    for name, (obj, grad) in stages.items():
+        if name in pick:
+            r[name] = timed(name, obj, grad=grad)
     fl = r.get("floor") or 0.0
     print("\ndeltas over floor (ms):", flush=True)
     for k, v in r.items():

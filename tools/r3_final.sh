@@ -9,6 +9,9 @@
 #   setsid nohup bash tools/r3_final.sh > /tmp/r3_final.log 2>&1 &
 set -x
 cd "$(dirname "$0")/.."
+# Archive the log on EXIT (an in-script cp self-truncates: everything after it
+# is never captured — ADVICE r3). The trap fires after the last command.
+trap 'cp /tmp/r3_final.log docs/r3_final_results.log 2>/dev/null || true' EXIT
 date
 timeout 900 python -c "import jax,jax.numpy as jnp; x=jax.device_put(jnp.ones((8,8))); print('sanity', float((x@x).sum()))" || exit 1
 # 1. backward decomposition: model-only grad vs loss share, BN-stat overhead
@@ -21,5 +24,4 @@ date
 timeout 2400 python tools/train_bench.py 96 1
 date
 echo R3_FINAL_DONE
-cp /tmp/r3_final.log docs/r3_final_results.log 2>/dev/null || true
 date

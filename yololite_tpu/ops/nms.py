@@ -218,18 +218,19 @@ LARGE_K_MODE = "blocked"
 # Candidate-logit gather strategy for nms_from_feats step 3 (trace-time
 # constants; all three forms emit bit-identical detections — gated by
 # tests/test_ops.py::test_nms_from_feats_gather_modes_identical):
-#   "ohg"     flat one-hot (K, A) MXU matmul of the box logits + K-row DFL
-#             (measured 16.70 vs 17.23 ms/batch vs dfl_all at bs=128/K=300,
-#             docs/r4_queue3_results.log)
 #   "blocked" two-level one-hot gather (decode.take_rows_blocked) + K-row DFL:
 #             idx = hi*block + lo keeps the one-hot at (K, A/block) and the
-#             intermediate at (K, block, 4R) — ~2x less HBM traffic than "ohg"
+#             intermediate at (K, block, 4R) — ~2x less HBM traffic than "ohg".
+#             Measured fastest e2e at bs=128/K=300: blk8 16.56 vs blk16 16.75 /
+#             blk32 17.86 / ohg 17.08 / dfl_all 17.06 ms/batch
+#             (docs/r4_queue5_results.log) -> default, block=8
+#   "ohg"     flat one-hot (K, A) MXU matmul of the box logits + K-row DFL
 #   "dfl_all" DFL expectation for ALL anchors (segment matmuls) + narrow (K,4)
 #             gathers — the only form that scales to validator-sized K, so K >
 #             OHG_MAX_K always uses it (a (B, 8192, 8400) one-hot is ~HBM-sized)
-GATHER_MODE = "ohg"
+GATHER_MODE = "blocked"
 OHG_MAX_K = 1024
-GATHER_BLOCK = 16
+GATHER_BLOCK = 8
 
 
 def _keep_large_k(shifted: jnp.ndarray, valid: jnp.ndarray, iou_thres: float) -> jnp.ndarray:

@@ -56,6 +56,17 @@ def build_targets(batch: Dict, batch_size: int, imgsz: Tuple[int, int], max_gt: 
     return {"gt_labels": gt_labels, "gt_bboxes": gt_bboxes, "mask_gt": mask_gt}
 
 
+# Differentiable box+DFL chain form (trace-time constant):
+#   True  -> compact-K: gather the <= topk*M foreground candidates with a
+#            one-hot MXU matmul and run decode/CIoU/bbox2dist/DFL-CE on
+#            (B, K) rows instead of all (B, A=8400). Exact: the assigner's
+#            dedup guarantees fg_count <= topk*M, and every dropped row has
+#            weight 0 (contributes 0 to the masked sums and 0 gradient).
+#   False -> dense masked form over all anchors.
+# Measured before flipping (tools/loss_profile.py full vs full_compact).
+COMPACT_BOX_LOSS = False
+
+
 class v8DetectionLoss:
     """Functional loss: __call__(feats, targets) -> (total_loss, loss_items)."""
 
@@ -146,15 +157,37 @@ class v8DetectionLoss:
         fg = fg_mask.astype(jnp.float32)  # (B, A)
         target_bboxes = target_bboxes.astype(jnp.float32) / stride_tensor
         weight = target_scores.astype(jnp.float32).sum(-1) * fg  # (B, A), fp32 accumulation
-        iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True)
-        loss_box = ((1.0 - iou) * weight).sum() / target_scores_sum
-
-        if self.use_dfl:
-            target_ltrb = bbox2dist(anchor_points, target_bboxes, self.reg_max - 1)
-            df = self._df_loss(pred_distri, target_ltrb).squeeze(-1)
-            loss_dfl = (df * weight).sum() / target_scores_sum
+        M = gt_labels.shape[1]
+        if COMPACT_BOX_LOSS and self.assigner.topk * M < A:
+            # compact-K: every fg row (<= topk*M by the assigner's dedup) is
+            # gathered front-compacted; dropped rows have weight 0, so the
+            # masked sums and their gradients are bit-equal to the dense form
+            K = self.assigner.topk * M
+            idx = jax.lax.top_k(fg, K)[1]  # fg rows first, index order (stable ties)
+            oh = jax.nn.one_hot(idx, A, dtype=pred_distri.dtype)  # (B, K, A)
+            pred_distri_k = jnp.einsum("bka,bar->bkr", oh, pred_distri)
+            anchor_k = jnp.take(anchor_points, idx, axis=0)  # (B, K, 2) from consts
+            tb_k = jnp.take_along_axis(target_bboxes, idx[..., None], axis=1)
+            w_k = jnp.take_along_axis(weight, idx, axis=1)
+            pb_k = self.bbox_decode(anchor_k, pred_distri_k)
+            iou = bbox_iou(pb_k, tb_k, xywh=False, CIoU=True)
+            loss_box = ((1.0 - iou) * w_k).sum() / target_scores_sum
+            if self.use_dfl:
+                target_ltrb = bbox2dist(anchor_k, tb_k, self.reg_max - 1)
+                df = self._df_loss(pred_distri_k, target_ltrb).squeeze(-1)
+                loss_dfl = (df * w_k).sum() / target_scores_sum
+            else:
+                loss_dfl = jnp.zeros((), jnp.float32)
         else:
-            loss_dfl = jnp.zeros((), jnp.float32)
+            iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True)
+            loss_box = ((1.0 - iou) * weight).sum() / target_scores_sum
+
+            if self.use_dfl:
+                target_ltrb = bbox2dist(anchor_points, target_bboxes, self.reg_max - 1)
+                df = self._df_loss(pred_distri, target_ltrb).squeeze(-1)
+                loss_dfl = (df * weight).sum() / target_scores_sum
+            else:
+                loss_dfl = jnp.zeros((), jnp.float32)
 
         loss_items = jnp.stack([loss_box * self.hyp_box, loss_cls * self.hyp_cls, loss_dfl * self.hyp_dfl])
         return loss_items.sum() * batch_size, jax.lax.stop_gradient(loss_items)

@@ -48,39 +48,6 @@ def topk_hierarchical(m: jnp.ndarray, k: int, block: int = 84):
     return v2, idx
 
 
-def topk_mask_by_threshold(m: jnp.ndarray, k: int, block: int = 84) -> jnp.ndarray:
-    """Membership mask of lax.top_k(m, k)'s selection, with no index bookkeeping.
-
-    Returns bool (..., A): True exactly where lax.top_k(m, k) would pick.
-    TAL only consumes top-k *membership* (utils/tal.py reference :180-205 builds
-    a count mask), so the value sorts can run single-operand: per-block
-    ascending lax.sort (no iota companion), k-of-winners for the k-th largest
-    value v_k, then membership = (m > v_k) plus the first (k - #above) ties of
-    v_k in position order — exactly lax.top_k's stable first-occurrence tie
-    rule (ties resolve to the lowest indices). Halves the sort traffic of
-    topk_hierarchical and drops the (B,M,K,A) occurrence compare-reduce.
-    """
-    A = m.shape[-1]
-    if k >= A:
-        return jnp.ones(m.shape, bool)
-    nblk = max(1, A // block)
-    mp = m
-    pad = (-A) % nblk
-    if pad:
-        mp = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, pad)], constant_values=-jnp.inf)
-    blk = mp.shape[-1] // nblk
-    kb = min(k, blk)
-    mb = mp.reshape(*m.shape[:-1], nblk, blk)
-    v1 = jax.lax.sort(mb, dimension=-1)[..., blk - kb:]  # (..., nblk, kb) ascending
-    winners = v1.reshape(*m.shape[:-1], nblk * kb)
-    vk = jax.lax.sort(winners, dimension=-1)[..., -k]  # (...,) k-th largest overall
-    above = m > vk[..., None]
-    n_above = above.sum(axis=-1, keepdims=True)
-    ties = m == vk[..., None]
-    tie_rank = jnp.cumsum(ties.astype(jnp.int32), axis=-1)  # 1-based among ties
-    return above | (ties & (tie_rank <= (k - n_above)))
-
-
 def select_candidates_in_gts(xy_centers: jnp.ndarray, gt_bboxes: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
     """(A,2) centers x (B,M,4) xyxy -> (B,M,A) bool: center strictly inside box."""
     lt = gt_bboxes[..., None, :2]  # (B,M,1,2)
@@ -180,16 +147,25 @@ class TaskAlignedAssigner:
         return align_metric, overlaps
 
     def _select_topk_candidates(self, metrics: jnp.ndarray, mask_gt: jnp.ndarray) -> jnp.ndarray:
-        """Top-k membership per GT (reference's count mask, tal.py:180-205).
+        """Top-k per GT with the reference's duplicate-count suppression
+        (reference tal.py:180-205).
 
-        Value-threshold form: within a row top-k indices are distinct, so the
-        reference's duplicate-count suppression only ever zeroes the index-0
-        pileup of mask_gt=0 rows — which the mask_gt factor here reproduces.
-        Tie handling matches topk_hierarchical/lax.top_k bit-for-bit (gated by
-        tests/test_tal.py::test_topk_threshold_mask_matches_hierarchical).
+        A value-threshold membership-mask variant (single-operand blocked sorts
+        for the k-th value + tie cumsum) was built and measured SLOWER on-chip
+        (9.0 vs 7.0 ms for the topk stage at bs=64 — docs/r4_queue5_results.log:
+        the variadic sort the hierarchical form pays for is cheaper than the
+        threshold form's extra full-width compare/cumsum passes), so the
+        hierarchical (value, index) form stays.
         """
-        sel = topk_mask_by_threshold(metrics, self.topk)
-        return (sel & (mask_gt > 0)).astype(metrics.dtype)
+        B, M, A = metrics.shape
+        topk_metrics, topk_idxs = topk_hierarchical(metrics, self.topk)  # (B,M,K)
+        topk_mask = (mask_gt > 0)  # (B,M,1)
+        topk_idxs = jnp.where(topk_mask, topk_idxs, 0)
+        # occurrence count as a fused compare-reduce over the K axis (TPU scatter
+        # lowers as badly as gather; the (B,M,K,A) compare never materializes)
+        count = (topk_idxs[..., None] == jnp.arange(A, dtype=topk_idxs.dtype)).sum(-2, dtype=jnp.int32)
+        count = jnp.where(count > 1, 0, count)  # kills the index-0 pileup of masked rows
+        return count.astype(metrics.dtype)
 
     def _get_targets(self, gt_labels, gt_bboxes, target_gt_idx, fg_mask):
         """Per-anchor GT lookup as one-hot matmuls over the small M axis (exact
