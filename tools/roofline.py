@@ -22,28 +22,45 @@ import numpy as np
 
 
 def chain_time(fn, x, iters, label):
+    """Per-iteration time of fn with the dispatch/fetch constant removed.
+
+    A single scan-loop measurement divides the relay round-trip (~20-35 ms)
+    across iters — at 8 iters that is a ~3 ms/iter additive error, which made
+    the r2/r3 axpy sweep report 273 GB/s on a part whose big-array transfers
+    sustain 500+ (docs/r4_queue6_results.log: the "bandwidth" rose with array
+    size exactly as a constant-plus-linear model predicts). Measure the same
+    chain at iters and 5*iters and take the slope: the constant cancels.
+    """
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def loop(x, salt):
-        def body(c, _):
-            y = fn(x + c.astype(x.dtype))
-            # FULL-output reduce: a [:1] slice here lets XLA slice through the
-            # dot/elementwise and compute one element (measured: "299 TFLOP/s"
-            # on a 197-peak part). The extra reduce is ~1-2% of the op cost.
-            return (jnp.sum(y.astype(jnp.float32)) * 1e-12).astype(jnp.float32), None
+    def make(n):
+        @jax.jit
+        def loop(x, salt):
+            def body(c, _):
+                y = fn(x + c.astype(x.dtype))
+                # FULL-output reduce: a [:1] slice here lets XLA slice through
+                # the dot/elementwise and compute one element (measured: "299
+                # TFLOP/s" on a 197-peak part).
+                return (jnp.sum(y.astype(jnp.float32)) * 1e-12).astype(jnp.float32), None
 
-        out, _ = jax.lax.scan(body, salt, None, length=iters)
-        return out
+            out, _ = jax.lax.scan(body, salt, None, length=n)
+            return out
+
+        return loop
 
     try:
-        float(loop(x, jnp.float32(0)))
+        lo, hi = make(iters), make(5 * iters)
+        float(lo(x, jnp.float32(0)))
+        float(hi(x, jnp.float32(0)))
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            float(loop(x, jnp.float32(0)))
-            best = min(best, (time.perf_counter() - t0) / iters)
+            float(lo(x, jnp.float32(0)))
+            t1 = time.perf_counter()
+            float(hi(x, jnp.float32(0)))
+            t2 = time.perf_counter()
+            best = min(best, ((t2 - t1) - (t1 - t0)) / (4 * iters))
         return best
     except Exception as e:
         print(f"{label}: {type(e).__name__}: {e}", flush=True)

@@ -63,8 +63,9 @@ def build_targets(batch: Dict, batch_size: int, imgsz: Tuple[int, int], max_gt: 
 #            dedup guarantees fg_count <= topk*M, and every dropped row has
 #            weight 0 (contributes 0 to the masked sums and 0 gradient).
 #   False -> dense masked form over all anchors.
-# Measured before flipping (tools/loss_profile.py full vs full_compact).
-COMPACT_BOX_LOSS = False
+# Measured on-chip before flipping (docs/r4_queue6_results.log): loss fwd+bwd
+# over floor 7.57 vs 9.12 ms at bs=64, 15.28 vs 20.71 ms at bs=128 -> compact.
+COMPACT_BOX_LOSS = True
 
 
 class v8DetectionLoss:
