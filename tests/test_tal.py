@@ -86,6 +86,57 @@ def test_tal_parity(seed):
     )
 
 
+@pytest.mark.parametrize("shape,block", [((2, 6, 8400), 128), ((3, 700), 64), ((4, 4, 1000), 128)])
+def test_topk_blockmax_gather_bit_identical(shape, block):
+    """blockgather top-k == lax.top_k exactly — values AND indices, ties included."""
+    import jax
+
+    from yololite_tpu.utils.tal import topk_blockmax_gather
+
+    rng = np.random.default_rng(0)
+    k = 13
+    cases = [
+        rng.uniform(0, 1, shape).astype(np.float32),  # continuous
+        rng.integers(0, 4, shape).astype(np.float32),  # heavy value ties across blocks
+        np.zeros(shape, np.float32),  # all-tie at zero (masked assigner rows)
+        np.where(rng.uniform(size=shape) < 0.98, 0.0, rng.uniform(0, 1, shape)).astype(np.float32),
+    ]
+    for m in cases:
+        v_ref, i_ref = jax.lax.top_k(jnp.asarray(m), k)
+        v, i = topk_blockmax_gather(jnp.asarray(m), k, block=block)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_pow_const_matches_pow():
+    from yololite_tpu.utils.tal import _pow_const
+
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 2, (257,)).astype(np.float32))
+    for p in (0.5, 1.0, 2.0, 3.0, 6.0, 8.0, 2.5):
+        np.testing.assert_allclose(np.asarray(_pow_const(x, p)), np.asarray(x**p), rtol=2e-6)
+
+
+def test_assigner_topk_modes_agree():
+    """Both TOPK_MODE settings produce identical assignments on a real scene."""
+    from yololite_tpu.utils import tal
+
+    # A large enough that blockgather takes its real path (nblk=66 > k)
+    pd_scores, pd_bboxes, anc, gt_labels, gt_bboxes, mask_gt = _scene(3, A=8400, M=8)
+    ours = TaskAlignedAssigner(topk=10, num_classes=pd_scores.shape[-1], alpha=0.5, beta=6.0)
+    args = (jnp.asarray(pd_scores), jnp.asarray(pd_bboxes), jnp.asarray(anc),
+            jnp.asarray(gt_labels), jnp.asarray(gt_bboxes), jnp.asarray(mask_gt))
+    old = tal.TOPK_MODE
+    try:
+        tal.TOPK_MODE = "hier"
+        a = ours(*args)
+        tal.TOPK_MODE = "blockgather"
+        b = ours(*args)
+    finally:
+        tal.TOPK_MODE = old
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_tal_no_gt():
     pd_scores, pd_bboxes, anc, gt_labels, gt_bboxes, mask_gt = _scene(0)
     mask_gt[:] = 0

@@ -125,6 +125,37 @@ def main(bs=64, iters=20):
         count = jnp.where(count > 1, 0, count)
         return jnp.sum(count.astype(jnp.float32) * am)
 
+    def tal_topk_bg_obj(fs):
+        # metrics + blockmax-gather top-k count mask (r4 flip candidate: the
+        # full-width variadic block sorts collapse to a max-reduce + k-block gather)
+        from yololite_tpu.utils.tal import topk_blockmax_gather
+
+        pd, ps = split(fs)
+        pb = dist2bbox(dfl_expectation_mm(pd, R), anchor_points, xywh=False)
+        am, _ = assigner._get_box_metrics(
+            jax.nn.sigmoid(ps).astype(jnp.float32),
+            (pb * stride_tensor).astype(gb.dtype), gl, gb,
+            (jnp.ones((bs, MG, A), jnp.float32) * mg))
+        _, idx = topk_blockmax_gather(am, assigner.topk)
+        idx = jnp.where(mg > 0, idx, 0)
+        count = (idx[..., None] == jnp.arange(A, dtype=idx.dtype)).sum(-2, dtype=jnp.int32)
+        count = jnp.where(count > 1, 0, count)
+        return jnp.sum(count.astype(jnp.float32) * am)
+
+    def tal_metrics_pow_obj(fs):
+        # A/B reference for the _pow_const expansion: epsilon-perturbed exponents
+        # force the generic lax.pow (exp/log) lowering at identical traffic
+        from yololite_tpu.utils.tal import TaskAlignedAssigner as TA
+
+        powref = TA(topk=assigner.topk, num_classes=NC, alpha=0.5000001, beta=6.0000001)
+        pd, ps = split(fs)
+        pb = dist2bbox(dfl_expectation_mm(pd, R), anchor_points, xywh=False)
+        am, ov = powref._get_box_metrics(
+            jax.nn.sigmoid(ps).astype(jnp.float32),
+            (pb * stride_tensor).astype(gb.dtype), gl, gb,
+            (jnp.ones((bs, MG, A), jnp.float32) * mg))
+        return jnp.sum(am) + jnp.sum(ov)
+
     def bce_obj(fs):
         _, ps = split(fs)
         return bce_sum(ps, tsc)

@@ -21,6 +21,73 @@ import jax.numpy as jnp
 
 from yololite_tpu.ops.boxes import bbox_iou
 
+# Top-k implementation for the per-GT candidate selection (flip candidate,
+# docs/PERF.md round 4):
+#   "hier"        -> topk_hierarchical: variadic (value, index) top-k of every
+#                    ~84-wide block, then k-of-winners (r2 default, 2.4x over
+#                    the full lax.top_k sort)
+#   "blockgather" -> topk_blockmax_gather: cheap block-max reduce, top-k of the
+#                    66 block maxes, one-hot-matmul gather of just those k
+#                    blocks, variadic sort over k*block instead of A elements
+TOPK_MODE = "hier"
+
+
+def _pow_const(x: jnp.ndarray, p: float) -> jnp.ndarray:
+    """x**p for the assigner's static exponents without lax.pow.
+
+    A non-integer-exponent pow lowers to exp(p*log(x)) — two transcendental
+    VPU passes over the full (B, M, A) metric grid. The shipped exponents
+    (alpha=0.5, beta=6.0, utils/loss.py:83) expand to sqrt / multiply chains.
+    """
+    if p == 1.0:
+        return x
+    if p == 0.5:
+        return jnp.sqrt(x)
+    if float(p).is_integer() and 1 < p <= 8:
+        n, out, base = int(p), None, x
+        while n:  # square-and-multiply
+            if n & 1:
+                out = base if out is None else out * base
+            n >>= 1
+            if n:
+                base = base * base
+        return out
+    return x**p
+
+
+def topk_blockmax_gather(m: jnp.ndarray, k: int, block: int = 128):
+    """Exact top-k along the last axis for NON-NEGATIVE inputs.
+
+    Any block containing a global top-k element has block-max >= the k-th
+    value, and on max ties the earlier block's element is chosen first by the
+    global first-occurrence rule — so the k blocks picked by lax.top_k over
+    block maxes (value desc, index asc) are a superset of the blocks holding
+    the answer. Re-sorting the selected block ids ascending restores global
+    position order, so the final top-k over the k*block gathered columns is
+    bit-identical to lax.top_k(m, k), tie semantics included. The full-width
+    pass drops from a variadic sort to a max-reduce; only k*block elements
+    (~1.7k vs A=8400) see the sort.
+
+    Requires m >= 0 (the align metric is: scores and clipped overlaps are both
+    non-negative) — padding uses 0.0 at the tail, never selected ahead of a
+    real element by first-occurrence order.
+    """
+    A = m.shape[-1]
+    nblk = -(-A // block)
+    if nblk <= k or k >= A:
+        return jax.lax.top_k(m, min(k, A))
+    pad = nblk * block - A
+    if pad:
+        m = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, pad)])
+    mb = m.reshape(*m.shape[:-1], nblk, block)
+    _, bidx = jax.lax.top_k(mb.max(axis=-1), k)  # (..., k) candidate blocks
+    bidx = jnp.sort(bidx, axis=-1)  # ascending -> global position order
+    oh = jax.nn.one_hot(bidx, nblk, dtype=m.dtype)  # (..., k, nblk)
+    g = jnp.einsum("...kn,...nb->...kb", oh, mb)  # gathered blocks (..., k, block)
+    v, i = jax.lax.top_k(g.reshape(*m.shape[:-1], k * block), k)
+    gblk = jnp.take_along_axis(bidx, i // block, axis=-1)
+    return v, gblk * block + i % block
+
 
 def topk_hierarchical(m: jnp.ndarray, k: int, block: int = 84):
     """Exact top-k along the last axis via per-block top-k then top-k of winners.
@@ -143,7 +210,7 @@ class TaskAlignedAssigner:
         iou = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True)
         overlaps = jnp.where(mask > 0, iou.clip(0), 0.0)
 
-        align_metric = bbox_scores**self.alpha * overlaps**self.beta
+        align_metric = _pow_const(bbox_scores, self.alpha) * _pow_const(overlaps, self.beta)
         return align_metric, overlaps
 
     def _select_topk_candidates(self, metrics: jnp.ndarray, mask_gt: jnp.ndarray) -> jnp.ndarray:
@@ -158,7 +225,8 @@ class TaskAlignedAssigner:
         hierarchical (value, index) form stays.
         """
         B, M, A = metrics.shape
-        topk_metrics, topk_idxs = topk_hierarchical(metrics, self.topk)  # (B,M,K)
+        topk_fn = topk_blockmax_gather if TOPK_MODE == "blockgather" else topk_hierarchical
+        topk_metrics, topk_idxs = topk_fn(metrics, self.topk)  # (B,M,K)
         topk_mask = (mask_gt > 0)  # (B,M,1)
         topk_idxs = jnp.where(topk_mask, topk_idxs, 0)
         # occurrence count as a fused compare-reduce over the K axis (TPU scatter
