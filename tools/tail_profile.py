@@ -28,7 +28,12 @@ import numpy as np
 
 def main(bs=128, iters=20):
     bs, iters = int(bs), int(iters)
+    import os
+
     import jax
+
+    if os.environ.get("TAILPROFILE_CPU"):  # local shape/crash validation only
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from yololite_tpu.models.model import DetectionModel
@@ -110,6 +115,64 @@ def main(bs=128, iters=20):
 
     stage_full = _full_with_mode("dfl_all")
 
+    def _decode_no_suppress(p, s, x):
+        # everything up to cand_boxes/valid (blocked@8 gather) — NO suppression
+        # or finalize. full_blk8 minus this = the suppression+finalize cost.
+        from yololite_tpu.ops.decode import take_rows_blocked
+
+        feats = model.apply(p, s, x, train=False)
+        vals, bidx, cls_all = select(feats)
+        B = x.shape[0]
+        box_logits = jnp.concatenate(
+            [f[..., : 4 * reg_max].reshape(B, -1, 4 * reg_max) for f in feats], axis=1)
+        cand_logits = take_rows_blocked(box_logits, bidx, 8)
+        dist = dfl_expectation_mm(cand_logits, reg_max)
+        cls_k = take_rows_blocked(cls_all[..., None], bidx, 8)[..., 0]
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        offs, Ws, Ss, o = [], [], [], 0
+        for (h, w), s_ in zip(shapes, strides):
+            offs.append(o); Ws.append(w); Ss.append(int(s_)); o += h * w
+        lvl = jnp.zeros_like(bidx)
+        for i in range(1, len(offs)):
+            lvl = jnp.where(bidx >= offs[i], i, lvl)
+        off_l = sum(jnp.where(lvl == i, offs[i], 0) for i in range(len(offs)))
+        W_l = sum(jnp.where(lvl == i, Ws[i], 0) for i in range(len(offs)))
+        S_l = sum(jnp.where(lvl == i, Ss[i], 0) for i in range(len(offs))).astype(jnp.float32)
+        local = bidx - off_l
+        ax = (local % W_l).astype(jnp.float32) + 0.5
+        ay = (local // W_l).astype(jnp.float32) + 0.5
+        cand_boxes = jnp.stack(
+            [(ax - dist[..., 0]) * S_l, (ay - dist[..., 1]) * S_l,
+             (ax + dist[..., 2]) * S_l, (ay + dist[..., 3]) * S_l], axis=-1)
+        return (jnp.sum(cand_boxes) + jnp.sum(cls_k)
+                + jnp.sum(vals.astype(jnp.float32)))
+
+    def _full_suppress_variant(keep_fn_name):
+        # full blocked@8 pipeline with the suppression swapped (scan = per-image
+        # chunked serial greedy; fast = one-sweep matrix NMS, the suppression
+        # cost floor — NOT exact, measurement only)
+        def fn(p, s, x):
+            from yololite_tpu.ops import nms as nms_mod
+
+            feats = model.apply(p, s, x, train=False)
+            old = nms_mod._fixpoint_keep
+            if keep_fn_name == "scan":
+                import functools as ft
+
+                nms_mod._fixpoint_keep = lambda sh, va, th: jax.vmap(
+                    ft.partial(nms_mod._greedy_keep, iou_thres=th))(sh, va)
+            try:
+                nms_mod.GATHER_MODE, nms_mod.GATHER_BLOCK = "blocked", 8
+                out = nms_mod.nms_from_feats(
+                    feats, strides, nc, reg_max, conf_thres=conf_thres,
+                    iou_thres=iou_thres, max_det=max_det, max_cand=K, half=True,
+                    mode="fast" if keep_fn_name == "fast" else "greedy")
+            finally:
+                nms_mod._fixpoint_keep = old
+            return jnp.sum(out)
+
+        return fn
+
     def stage_alt_ohg(p, s, x):
         feats = model.apply(p, s, x, train=False)
         vals, bidx, cls_all = select(feats)
@@ -149,17 +212,26 @@ def main(bs=128, iters=20):
             print(f"{name}: {type(e).__name__}: {str(e)[:300]}", flush=True)
             return None
 
+    all_stages = (("full_dflall", stage_full),
+                  ("full_ohg", _full_with_mode("ohg")),
+                  ("full_blk8", _full_with_mode("blocked", 8)),
+                  ("full_blk16", _full_with_mode("blocked", 16)),
+                  ("full_blk32", _full_with_mode("blocked", 32)),
+                  ("fwd", stage_fwd), ("+select", stage_select),
+                  ("+decode_blk8", _decode_no_suppress),
+                  ("full_suppscan", _full_suppress_variant("scan")),
+                  ("full_suppfast", _full_suppress_variant("fast")))
+    only = os.environ.get("TAILPROFILE_STAGES")
+    pick = set(s.strip() for s in only.split(",")) if only else None
     r = {}
-    for name, fn in (("full_dflall", stage_full),
-                     ("full_ohg", _full_with_mode("ohg")),
-                     ("full_blk8", _full_with_mode("blocked", 8)),
-                     ("full_blk16", _full_with_mode("blocked", 16)),
-                     ("full_blk32", _full_with_mode("blocked", 32)),
-                     ("fwd", stage_fwd), ("+select", stage_select)):
-        r[name] = timed(name, fn)
-    best = min((v, k) for k, v in r.items() if v and k.startswith("full"))
-    print(f"fastest full pipeline: {best[1]} at {best[0]:.2f} ms/batch "
-          f"({bs / best[0] * 1e3:.1f} img/s)", flush=True)
+    for name, fn in all_stages:
+        if pick is None or name in pick:
+            r[name] = timed(name, fn)
+    fulls = [(v, k) for k, v in r.items() if v and k.startswith("full")]
+    if fulls:
+        best = min(fulls)
+        print(f"fastest full pipeline: {best[1]} at {best[0]:.2f} ms/batch "
+              f"({bs / best[0] * 1e3:.1f} img/s)", flush=True)
 
 
 if __name__ == "__main__":
