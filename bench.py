@@ -93,15 +93,21 @@ def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False, mode: 
         except Exception as e:
             print(f"yolo11{scale} bs={bs}: {type(e).__name__}: {e}", file=sys.stderr)
             break
-        rate, legacy = 0.0, 0.0
+        t_lo, t_hi = float("inf"), float("inf")
         for _ in range(3):  # best-of-3 timing reps (relay jitter, VERDICT r3 #2)
             t0 = time.perf_counter()
             _ = float(lo(params_h, state_h, images, jnp.float32(0)))  # scan forces iters executions
             t1 = time.perf_counter()
             _ = float(hi(params_h, state_h, images, jnp.float32(0)))
             t2 = time.perf_counter()
-            legacy = max(legacy, bs * iters / (t1 - t0))
-            rate = max(rate, bs * 4 * iters / ((t2 - t1) - (t1 - t0)))  # call constant cancels
+            t_lo, t_hi = min(t_lo, t1 - t0), min(t_hi, t2 - t1)
+        # slope from the per-length MINIMA: jitter is additive-positive, so the
+        # min is the cleanest estimate of each length's true time — a per-rep
+        # max-of-slopes would let jitter in the SHORT loop inflate the rate
+        legacy = bs * iters / t_lo
+        # call constant cancels; degenerate timing (jitter > 4x loop delta)
+        # falls back to the conservative single-loop rate
+        rate = bs * 4 * iters / (t_hi - t_lo) if t_hi > t_lo else legacy
         print(f"yolo11{scale} bs={bs}: {rate:.1f} img/s steady-state "
               f"({legacy:.1f} r3-method)", file=sys.stderr)
         if rate > best:
