@@ -6,9 +6,15 @@ achieved fraction of the bf16 compute-bound speed-of-light for the NOMINAL v5e s
 (yolo11n = 6.6 GFLOPs/img -> ~29.8k img/s at 197 bf16 TFLOP/s, BASELINE.md:27).
 
 Device reality check (measured on this tunnel chip, see docs/PERF.md): peak dense
-matmul = ~124.5 bf16 TFLOP/s (not 197), HBM ~273 GB/s (not ~820). The model is
-HBM-bandwidth-bound; extra JSON keys report the fraction of the MEASURED device
-ceiling so progress is separable from the nominal-spec gap.
+matmul = 189.4 bf16 TFLOP/s (96% of the 197 nominal spec; the r2/r3 journal's
+124.5 was a relay-latency artifact — tools/ceiling_probe.py re-measured with
+slope-fit timing and opaque-operand salts, docs/r4_queue8_results.log). The model
+is HBM-bandwidth-bound; extra JSON keys report the fraction of the MEASURED
+device ceiling, the fraction against the r1-r3 constant (continuity with
+BENCH_r01..r03 and the round-3 0.45 target, key "vs_r3_constant_sol"), and the
+fraction of the analytic per-op HBM roofline for the forward
+(tools/traffic_model.py: 11.10 ms/batch at bs=128 = 11,530 img/s), which is the
+meaningful achievable ceiling for this bandwidth-bound model.
 
 Measurement notes: the sandbox TPU sits behind a TCP relay where block_until_ready
 can return before execution completes, so each iteration is data-chained through a
@@ -33,8 +39,10 @@ import time
 import numpy as np
 
 NOMINAL_TFLOPS = 197e12
-MEASURED_TFLOPS = 124.5e12  # 8192^3 bf16 matmul on this chip (docs/PERF.md)
+MEASURED_TFLOPS = 189.4e12  # slope-fit opaque-salt matmul ceiling (tools/ceiling_probe.py, r4 queue8)
+R3_CONSTANT_TFLOPS = 124.5e12  # the r2/r3 journal constant (relay-latency artifact; kept for continuity)
 GFLOPS = {"n": 6.6e9, "m": 68.5e9}  # model spec, reference cfg/yolo11.yaml:8-10
+FWD_ROOFLINE_N_IMG_S = 11530.0  # bs=128 per-op HBM roofline (tools/traffic_model.py, corrected ceilings)
 
 
 def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False, mode: str = "greedy"):
@@ -229,6 +237,8 @@ def main():
                 "unit": "img/s",
                 "vs_baseline": round(rate_n / sol_n, 4),
                 "vs_measured_device_sol": round(rate_n / dev_sol_n, 4),
+                "vs_r3_constant_sol": round(rate_n / (R3_CONSTANT_TFLOPS / GFLOPS["n"]), 4),
+                "vs_fwd_hbm_roofline": round(rate_n / FWD_ROOFLINE_N_IMG_S, 4),
                 "value_r3_method": round(legacy_n, 1),
                 **extras,
             }

@@ -267,6 +267,8 @@ def main(bs=64, iters=20):
         "assigner": (assigner_fwd, False),
         "tal_metrics": (tal_metrics_obj, False),
         "tal_topk_old": (tal_topk_old_obj, False),
+        "tal_topk_bg": (tal_topk_bg_obj, False),
+        "tal_metrics_pow": (tal_metrics_pow_obj, False),
         "bce": (bce_obj, True),
         "decode": (decode_obj, True),
         "decode_ad": (decode_ad_obj, True),

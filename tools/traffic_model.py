@@ -25,8 +25,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
-HBM_GBS = 273e9  # measured (docs/PERF.md; bench.py constants)
-MXU_TFLOPS = 124.5e12
+# Ceilings (overridable): r4 queue8 ceiling_probe corrected both constants —
+# the r2 124.5 TFLOP/s / 273 GB/s pair was a relay-latency artifact. Opaque-
+# operand multi-length fits: matmul 189.4 bf16 TFLOP/s; conv-shaped effective
+# r+w up to 1086 GB/s (conv1), read-stream ~740 GB/s (docs/r4_queue8_results.log).
+HBM_GBS = float(os.environ.get("TRAFFIC_HBM_GBS", 1000e9))
+MXU_TFLOPS = float(os.environ.get("TRAFFIC_MXU_TFLOPS", 189.4e12))
 
 
 def main(scale: str = "n", bs: int = 128, imgsz: int = 640):
