@@ -99,6 +99,23 @@ def main(bs=64, iters=20):
             anchor_points * stride_tensor, gl, gb, mg)
         return jnp.sum(ts.astype(jnp.float32)) + jnp.sum(tb) + jnp.sum(fg)
 
+    def assigner_bf16_obj(fs):
+        # ceiling check for a half-width assigner: keep ALL (B,M,A) grids bf16
+        # (gt/pred boxes cast to bf16 before the CIoU grid, metrics+topk in
+        # bf16). Semantics shift slightly (near-tie top-k flips from ~0.4%
+        # relative box error), so this measures the available win BEFORE any
+        # decision to productize behind an mAP-validated flag.
+        from yololite_tpu.utils.tal import TaskAlignedAssigner as TA
+
+        a16 = TA(topk=assigner.topk, num_classes=NC, alpha=0.5, beta=6.0,
+                 metric_dtype=jnp.bfloat16)
+        pd, ps = split(fs)
+        pb = dist2bbox(dfl_expectation_mm(pd, R), anchor_points, xywh=False)
+        _, tb, ts, fg, _ = a16(
+            jax.nn.sigmoid(ps), (pb * stride_tensor).astype(gb.dtype),
+            anchor_points * stride_tensor, gl, gb, mg)
+        return jnp.sum(ts.astype(jnp.float32)) + jnp.sum(tb.astype(jnp.float32)) + jnp.sum(fg)
+
     def tal_metrics_obj(fs):
         # assigner sub-stage: candidate mask + align-metric/CIoU grid only
         pd, ps = split(fs)
@@ -265,6 +282,7 @@ def main(bs=64, iters=20):
     stages = {
         "floor": (floor, False),
         "assigner": (assigner_fwd, False),
+        "assigner_bf16": (assigner_bf16_obj, False),
         "tal_metrics": (tal_metrics_obj, False),
         "tal_topk_old": (tal_topk_old_obj, False),
         "tal_topk_bg": (tal_topk_bg_obj, False),
