@@ -214,9 +214,13 @@ class TaskAlignedAssigner:
         )
         bbox_scores = bbox_scores * mask.astype(dt)
 
-        iou = bbox_iou(gt_bboxes[:, :, None, :].astype(dt), pd_bboxes[:, None, :, :].astype(dt),
+        # IoU math stays fp32 regardless of metric_dtype: intersection widths
+        # are differences of near-equal coordinates, and bf16 coords suffer
+        # catastrophic cancellation (x300 metric error after ^beta). Only the
+        # materialized (B,M,A) grid is narrowed — the fp32 intermediates fuse.
+        iou = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :].astype(jnp.float32),
                        xywh=False, CIoU=True)
-        overlaps = jnp.where(mask > 0, iou.clip(0), jnp.zeros((), dt))
+        overlaps = jnp.where(mask > 0, iou.clip(0).astype(dt), jnp.zeros((), dt))
 
         align_metric = _pow_const(bbox_scores, self.alpha) * _pow_const(overlaps, self.beta)
         return align_metric, overlaps
