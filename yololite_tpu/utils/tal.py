@@ -21,23 +21,26 @@ import jax.numpy as jnp
 
 from yololite_tpu.ops.boxes import bbox_iou
 
-# Top-k implementation for the per-GT candidate selection (flip candidate,
-# docs/PERF.md round 4):
+# Top-k implementation for the per-GT candidate selection (measured r4 queue9,
+# docs/PERF.md):
 #   "hier"        -> topk_hierarchical: variadic (value, index) top-k of every
 #                    ~84-wide block, then k-of-winners (r2 default, 2.4x over
 #                    the full lax.top_k sort)
 #   "blockgather" -> topk_blockmax_gather: cheap block-max reduce, top-k of the
 #                    66 block maxes, one-hot-matmul gather of just those k
-#                    blocks, variadic sort over k*block instead of A elements
-TOPK_MODE = "hier"
+#                    blocks, variadic sort over k*block instead of A elements.
+#                    Bit-identical to hier (test_tal); measured 4.03 vs 5.30 ms
+#                    over floor at bs=64 -> default.
+TOPK_MODE = "blockgather"
 
 
 def _pow_const(x: jnp.ndarray, p: float) -> jnp.ndarray:
     """x**p for the assigner's static exponents without lax.pow.
 
-    A non-integer-exponent pow lowers to exp(p*log(x)) — two transcendental
-    VPU passes over the full (B, M, A) metric grid. The shipped exponents
-    (alpha=0.5, beta=6.0, utils/loss.py:83) expand to sqrt / multiply chains.
+    The shipped exponents (alpha=0.5, beta=6.0, utils/loss.py:83) expand to
+    sqrt / multiply chains instead of exp(p*log(x)). Measured cost-neutral on
+    this chip (r4 queue9: metrics stage 2.98 vs 2.97 ms — XLA specializes
+    const-exponent pow equally well); kept for lowering explicitness.
     """
     if p == 1.0:
         return x
