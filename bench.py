@@ -114,8 +114,12 @@ def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False, mode: 
         # max-of-slopes would let jitter in the SHORT loop inflate the rate
         legacy = bs * iters / t_lo
         # call constant cancels; degenerate timing (jitter > 4x loop delta)
-        # falls back to the conservative single-loop rate
+        # falls back to the conservative single-loop rate. The slope removes
+        # only the per-call dispatch constant, so a rate far above the legacy
+        # estimate means t_lo still carried jitter — reject those too.
         rate = bs * 4 * iters / (t_hi - t_lo) if t_hi > t_lo else legacy
+        if rate > 1.5 * legacy:
+            rate = legacy
         print(f"yolo11{scale} bs={bs}: {rate:.1f} img/s steady-state "
               f"({legacy:.1f} r3-method)", file=sys.stderr)
         if rate > best:

@@ -271,3 +271,102 @@ def test_verify_image_label_counts(tmp_path):
     lb.write_text("7 0.5 0.5 0.2 0.2\n")  # class out of range -> corrupt
     out = verify_image_label(str(im), str(lb), 1)
     assert out[0] is None and out[7] == 1
+
+
+# ---- mosaic parity vs the reference implementation ----
+
+def _mosaic_labels(instances_ctor, imgsz=96, n=9, seed=7):
+    """Build a base-labels dict + (n-1) mix companions with varied tile sizes.
+
+    instances_ctor(bboxes_xywh_norm) -> an Instances object (ours or the
+    reference's); tile sizes <= imgsz as in the real pipeline (load_image
+    resizes longest side to imgsz).
+    """
+    rng = np.random.default_rng(seed)
+
+    def one(i):
+        h = int(imgsz * (0.5 + 0.5 * ((i * 37) % 11) / 10))
+        w = int(imgsz * (0.5 + 0.5 * ((i * 53) % 11) / 10))
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        nb = 1 + i % 3
+        boxes = np.clip(rng.random((nb, 4), np.float32) * 0.5 + 0.25, 0.05, 0.95)
+        boxes[:, 2:] = np.minimum(boxes[:, 2:], 0.3)  # keep w/h small
+        return {
+            "im_file": f"im{i}.jpg",
+            "ori_shape": (h, w),
+            "resized_shape": (h, w),
+            "img": img,
+            "cls": np.arange(nb, dtype=np.float32)[:, None],
+            "instances": instances_ctor(boxes),
+        }
+
+    labels = one(0)
+    labels["mix_labels"] = [one(i) for i in range(1, n)]
+    return labels
+
+
+@pytest.mark.parametrize("n", [3, 9])
+def test_mosaic_grid_matches_reference(n):
+    """_mosaic3/_mosaic9 canvas AND label placement are bit-identical to the
+    reference (augment.py:235-267, 303-346) — in particular the border shift
+    folded into the pad offsets for the 2s center-crop."""
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    import sys as _sys
+
+    _sys.path.insert(0, str(REFERENCE))
+    from yololite.data.augment import Mosaic as RefMosaic
+    from yololite.utils.instance import Instances as RefInstances
+
+    from yololite_tpu.data.augment import Mosaic
+    from yololite_tpu.utils.instance import Instances
+
+    imgsz = 96
+
+    class _DS:
+        def __len__(self):
+            return 8
+
+    ours = Mosaic(_DS(), imgsz=imgsz, p=1.0, n=n)
+    ref = RefMosaic(_DS(), imgsz=imgsz, p=1.0, n=9)  # ref ctor rejects n=3; call _mosaic3 directly
+    ref.n = n
+
+    mine = _mosaic_labels(lambda b: Instances(b, bbox_format="xywh", normalized=True), imgsz, n)
+    theirs = _mosaic_labels(lambda b: RefInstances(b, bbox_format="xywh", normalized=True), imgsz, n)
+
+    out_m = ours._mosaic3(mine) if n == 3 else ours._mosaic9(mine)
+    out_r = ref._mosaic3(theirs) if n == 3 else ref._mosaic9(theirs)
+
+    assert out_m["img"].shape == out_r["img"].shape == (2 * imgsz, 2 * imgsz, 3)
+    np.testing.assert_array_equal(out_m["img"], out_r["img"])
+    np.testing.assert_allclose(out_m["instances"].bboxes, out_r["instances"].bboxes, atol=1e-5)
+    np.testing.assert_array_equal(out_m["cls"], out_r["cls"])
+
+
+def test_mosaic_companions_from_buffer():
+    """get_indexes draws companions from the dataset's rolling RAM buffer with
+    replacement (reference augment.py:226-229), falling back to uniform draws
+    only when the buffer is empty."""
+    import random as _random
+
+    from yololite_tpu.data.augment import Mosaic
+
+    class _DS:
+        def __init__(self, buffer):
+            self.buffer = buffer
+
+        def __len__(self):
+            return 100
+
+    m = Mosaic(_DS([3, 5, 8]), imgsz=64, p=1.0, n=4)
+    _random.seed(123)
+    got = m.get_indexes()
+    _random.seed(123)
+    want = _random.choices([3, 5, 8], k=3)
+    assert got == want
+    assert set(got) <= {3, 5, 8}
+
+    m_empty = Mosaic(_DS([]), imgsz=64, p=1.0, n=4)
+    _random.seed(9)
+    got = m_empty.get_indexes()
+    assert len(got) == 3 and all(0 <= i < 100 for i in got)

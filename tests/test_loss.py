@@ -220,12 +220,13 @@ def test_compact_box_loss_matches_dense():
     targets = {k: jnp.asarray(v) for k, v in targets.items()}
 
     def run(compact):
+        old = loss_mod.COMPACT_BOX_LOSS
         loss_mod.COMPACT_BOX_LOSS = compact
         try:
             total, items = jax.jit(lambda fs: loss(fs, targets))(feats)
             grads = jax.grad(lambda fs: loss(fs, targets)[0])(feats)
         finally:
-            loss_mod.COMPACT_BOX_LOSS = False
+            loss_mod.COMPACT_BOX_LOSS = old  # restore the shipped default, not False
         return np.asarray(total), np.asarray(items), [np.asarray(g) for g in grads]
 
     td, id_, gd = run(False)

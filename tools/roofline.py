@@ -60,7 +60,14 @@ def chain_time(fn, x, iters, label):
             t1 = time.perf_counter()
             float(hi(x, jnp.float32(0)))
             t2 = time.perf_counter()
-            best = min(best, ((t2 - t1) - (t1 - t0)) / (4 * iters))
+            # degenerate-timing guard (mirrors bench.py): jitter can make the
+            # slope near-zero/negative, which would feed absurd ceiling
+            # constants — fall back to the conservative single-loop estimate
+            slope = ((t2 - t1) - (t1 - t0)) / (4 * iters)
+            single = (t1 - t0) / iters
+            if slope <= 0 or slope < single / 1.5:
+                slope = single
+            best = min(best, slope)
         return best
     except Exception as e:
         print(f"{label}: {type(e).__name__}: {e}", flush=True)

@@ -156,6 +156,7 @@ def main(bs=128, iters=20):
 
             feats = model.apply(p, s, x, train=False)
             old = nms_mod._fixpoint_keep
+            old_gather = (nms_mod.GATHER_MODE, nms_mod.GATHER_BLOCK)
             if keep_fn_name == "scan":
                 import functools as ft
 
@@ -169,6 +170,7 @@ def main(bs=128, iters=20):
                     mode="fast" if keep_fn_name == "fast" else "greedy")
             finally:
                 nms_mod._fixpoint_keep = old
+                nms_mod.GATHER_MODE, nms_mod.GATHER_BLOCK = old_gather
             return jnp.sum(out)
 
         return fn

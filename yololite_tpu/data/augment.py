@@ -63,21 +63,62 @@ class BaseMixTransform:
 
 
 class Mosaic(BaseMixTransform):
-    """4-image (or 9-image) mosaic on a 2x-imgsz canvas (reference augment.py:189-380)."""
+    """3/4/9-image mosaic on a 2x-imgsz canvas (reference augment.py:189-380).
+
+    n=3 is the reference's _mosaic3 1x3 strip (augment.py:235-267) — unreachable
+    there (its __init__ asserts n in {4, 9}) but implemented, so we allow it.
+    """
 
     def __init__(self, dataset, imgsz=640, p=1.0, n=4):
-        assert n in (4, 9)
+        assert n in (3, 4, 9)
         super().__init__(dataset=dataset, p=p)
         self.imgsz = imgsz
         self.border = (-imgsz // 2, -imgsz // 2)
         self.n = n
 
-    def get_indexes(self):
+    def get_indexes(self, buffer=True):
+        """Companion tiles come from the dataset's rolling RAM buffer (with
+        replacement), matching reference augment.py:226-229 — the buffer holds
+        recently loaded images, so mosaic companions correlate with the current
+        stream position rather than being uniform over the dataset."""
+        buf = getattr(self.dataset, "buffer", None)
+        if buffer and buf:
+            return random.choices(list(buf), k=self.n - 1)
         return [random.randint(0, len(self.dataset) - 1) for _ in range(self.n - 1)]
 
     def _mix_transform(self, labels):
         assert labels.get("rect_shape") is None, "rect and mosaic are mutually exclusive"
+        if self.n == 3:
+            return self._mosaic3(labels)
         return self._mosaic4(labels) if self.n == 4 else self._mosaic9(labels)
+
+    def _mosaic3(self, labels):
+        """1x3 horizontal strip on a 3s canvas, center-cropped to 2s
+        (reference augment.py:235-267: center, right, left placement)."""
+        mosaic_labels = []
+        s = self.imgsz
+        img3 = None
+        h0 = w0 = 0
+        for i in range(3):
+            patch = labels if i == 0 else labels["mix_labels"][i - 1]
+            img = patch["img"]
+            h, w = patch.pop("resized_shape")
+            if i == 0:  # center
+                img3 = np.full((s * 3, s * 3, img.shape[2]), 114, dtype=np.uint8)
+                h0, w0 = h, w
+                box = s, s, s + w, s + h
+            elif i == 1:  # right of center
+                box = s + w0, s, s + w0 + w, s + h
+            else:  # left of center, bottom-aligned
+                box = s - w, s + h0 - h, s, s + h0
+            padw, padh = box[:2]
+            x1, y1, x2, y2 = (max(v, 0) for v in box)
+            img3[y1:y2, x1:x2] = img[y1 - padh:, x1 - padw:]
+            # labels in the 2s cropped frame (same border shift as _mosaic9)
+            mosaic_labels.append(self._update_labels(patch, padw + self.border[0], padh + self.border[1]))
+        final = self._cat_labels(mosaic_labels)
+        final["img"] = img3[-self.border[0]: self.border[0], -self.border[1]: self.border[1]]
+        return final
 
     def _mosaic4(self, labels):
         mosaic_labels = []
@@ -147,7 +188,9 @@ class Mosaic(BaseMixTransform):
             x1, y1, x2, y2 = (max(v, 0) for v in box)
             img9[y1:y2, x1:x2] = img[y1 - padh :, x1 - padw :]
             hp, wp = h, w
-            mosaic_labels.append(self._update_labels(patch, padw, padh))
+            # labels live in the 2s center-cropped frame, so the (negative)
+            # border shifts into the pad offsets (reference augment.py:340-341)
+            mosaic_labels.append(self._update_labels(patch, padw + self.border[0], padh + self.border[1]))
         final = self._cat_labels(mosaic_labels)
         final["img"] = img9[-self.border[0] : self.border[0], -self.border[1] : self.border[1]]
         return final

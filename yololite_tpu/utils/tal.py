@@ -59,7 +59,7 @@ def _pow_const(x: jnp.ndarray, p: float) -> jnp.ndarray:
 
 
 def topk_blockmax_gather(m: jnp.ndarray, k: int, block: int = 128):
-    """Exact top-k along the last axis for NON-NEGATIVE inputs.
+    """Exact top-k along the last axis (float inputs, any sign).
 
     Any block containing a global top-k element has block-max >= the k-th
     value, and on max ties the earlier block's element is chosen first by the
@@ -71,9 +71,10 @@ def topk_blockmax_gather(m: jnp.ndarray, k: int, block: int = 128):
     pass drops from a variadic sort to a max-reduce; only k*block elements
     (~1.7k vs A=8400) see the sort.
 
-    Requires m >= 0 (the align metric is: scores and clipped overlaps are both
-    non-negative) — padding uses 0.0 at the tail, never selected ahead of a
-    real element by first-occurrence order.
+    Tail padding uses the dtype's finite min (not -inf: the one-hot-matmul
+    gather would turn 0 * -inf into NaN), so a pad element never outranks a
+    real one even for signed inputs — a real element equal to dtype-min still
+    wins its tie by first-occurrence order.
     """
     A = m.shape[-1]
     nblk = -(-A // block)
@@ -81,7 +82,8 @@ def topk_blockmax_gather(m: jnp.ndarray, k: int, block: int = 128):
         return jax.lax.top_k(m, min(k, A))
     pad = nblk * block - A
     if pad:
-        m = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, pad)])
+        m = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, pad)],
+                    constant_values=jnp.finfo(m.dtype).min)
     mb = m.reshape(*m.shape[:-1], nblk, block)
     _, bidx = jax.lax.top_k(mb.max(axis=-1), k)  # (..., k) candidate blocks
     bidx = jnp.sort(bidx, axis=-1)  # ascending -> global position order
