@@ -449,3 +449,58 @@ def test_train_multi_scale_fused(tmp_path):
     import jax
 
     assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(t.params))
+
+
+def test_save_metrics_schema_pinned(tmp_path):
+    """results.csv columns are pinned at the first write: rows written before
+    the first validation (val=False early epochs) match the header width, and
+    later rows with metrics fill the same columns."""
+    from yololite_tpu.engine.trainer import DetectionTrainer
+
+    t = object.__new__(DetectionTrainer)
+    t.csv = tmp_path / "results.csv"
+    t.loss_names = ["box_loss", "cls_loss", "dfl_loss"]
+    t.metrics = None
+    t.lr = {"lr/pg0": 0.01, "lr/pg1": 0.01, "lr/pg2": 0.01}
+
+    class _M:
+        keys = ["metrics/precision(B)", "metrics/recall(B)", "metrics/mAP50(B)", "metrics/mAP50-95(B)"]
+
+    class _V:
+        metrics = _M()
+
+    t.validator = _V()
+
+    t.save_metrics(0, np.array([1.0, 2.0, 3.0]))  # no metrics yet
+    t.metrics = {"metrics/precision(B)": 0.5, "metrics/recall(B)": 0.4,
+                 "metrics/mAP50(B)": 0.3, "metrics/mAP50-95(B)": 0.2, "fitness": 0.21}
+    t.save_metrics(1, np.array([0.9, 1.8, 2.7]))
+
+    rows = t.csv.read_text().strip().splitlines()
+    widths = [len(r.split(",")) for r in rows]
+    assert len(set(widths)) == 1, widths  # header + every row same column count
+    header = rows[0].split(",")
+    assert "metrics/mAP50-95(B)" in header and "fitness" in header
+    # epoch-0 row has zeros in the metric columns, epoch-1 row the real values
+    r1 = dict(zip(header, rows[1].split(",")))
+    r2 = dict(zip(header, rows[2].split(",")))
+    assert float(r1["metrics/mAP50-95(B)"]) == 0.0
+    assert float(r2["metrics/mAP50-95(B)"]) == 0.2
+
+
+def test_save_metrics_resume_adopts_existing_header(tmp_path):
+    """A resumed run re-adopts the schema already in results.csv instead of
+    re-pinning a fresh (possibly different) one."""
+    from yololite_tpu.engine.trainer import DetectionTrainer
+
+    t = object.__new__(DetectionTrainer)
+    t.csv = tmp_path / "results.csv"
+    t.csv.write_text("epoch,box_loss,cls_loss,dfl_loss,lr/pg0,lr/pg1,lr/pg2\n1,1.0,2.0,3.0,0.01,0.01,0.01\n")
+    t.loss_names = ["box_loss", "cls_loss", "dfl_loss"]
+    t.metrics = {"metrics/mAP50(B)": 0.3}  # not in the existing schema -> ignored
+    t.lr = {"lr/pg0": 0.02, "lr/pg1": 0.02, "lr/pg2": 0.02}
+    t.validator = None
+
+    t.save_metrics(1, np.array([0.5, 0.6, 0.7]))
+    rows = t.csv.read_text().strip().splitlines()
+    assert all(len(r.split(",")) == 7 for r in rows)

@@ -626,20 +626,37 @@ class DetectionTrainer:
             if periodic:
                 save_native(self.wdir / f"epoch{epoch}.npz", ema_params, blob_state, meta)
 
-        # best/periodic writes are critical: the saver must never coalesce them
-        # away behind a newer routine save (reference writes best synchronously)
-        self._saver.submit(_write, critical=is_best or periodic)
+        # every epoch-final save is critical: the saver must never coalesce one
+        # away behind a newer write, matching the reference's durability class
+        # (it persists last.pt synchronously every epoch, trainer.py:384-388) —
+        # a crash after epoch N always resumes from N, never N-1. Costs at most
+        # one in-flight write's wait per submit, negligible at real epoch times.
+        self._saver.submit(_write, critical=True)
 
     def save_metrics(self, epoch, tloss):
-        """Append one row to results.csv (reference trainer.py:529-536)."""
+        """Append one row to results.csv (reference trainer.py:529-536).
+
+        The column schema is pinned at the first write (resumes re-adopt the
+        existing header) so rows written before the first validation — e.g.
+        args.val=False until the final epoch — carry the same columns as rows
+        written after it, instead of silently growing wider than the header.
+        """
         metrics = dict(self.metrics or {})
-        keys = ["epoch", *self.loss_names, *metrics.keys(), "lr/pg0", "lr/pg1", "lr/pg2"]
-        vals = [epoch + 1, *[float(x) for x in (tloss if tloss is not None else [0, 0, 0])],
-                *[float(v) for v in metrics.values()],
-                *[self.lr.get(f"lr/pg{j}", 0.0) for j in range(3)]]
-        header = "" if self.csv.exists() else ",".join(keys) + "\n"
+        if not hasattr(self, "_csv_keys"):
+            if self.csv.exists():  # resume: adopt the file's existing schema
+                self._csv_keys = self.csv.read_text(encoding="utf-8").splitlines()[0].split(",")
+            else:
+                metric_keys = list(metrics.keys()) or (
+                    list(self.validator.metrics.keys) + ["fitness"] if self.validator is not None else []
+                )
+                self._csv_keys = ["epoch", *self.loss_names, *metric_keys, "lr/pg0", "lr/pg1", "lr/pg2"]
+        row = dict(zip(self.loss_names, [float(x) for x in (tloss if tloss is not None else [0, 0, 0])]))
+        row["epoch"] = epoch + 1
+        row.update({k: float(v) for k, v in metrics.items()})
+        row.update({f"lr/pg{j}": self.lr.get(f"lr/pg{j}", 0.0) for j in range(3)})
+        header = "" if self.csv.exists() else ",".join(self._csv_keys) + "\n"
         with open(self.csv, "a", encoding="utf-8") as f:
-            f.write(header + ",".join(f"{v}" for v in vals) + "\n")
+            f.write(header + ",".join(f"{row.get(k, 0.0)}" for k in self._csv_keys) + "\n")
 
     def final_eval(self):
         """Re-validate best checkpoint with plots (reference trainer.py:543-556)."""
