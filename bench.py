@@ -127,6 +127,44 @@ def bench_scale(scale: str, batches, iters: int = 20, int8: bool = False, mode: 
     return best, best_legacy, best_bs
 
 
+def bench_latency_bs1(scale: str = "n", iters: int = 25, reps: int = 24):
+    """(p50_ms, p99_ms) per-batch device latency of the shipped predict graph
+    at bs=1 (same chained-salt graph as tools/latency_bench.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yololite_tpu.models.model import DetectionModel
+    from yololite_tpu.models.modules import fuse_tree
+    from yololite_tpu.ops.nms import nms_from_feats
+
+    model = DetectionModel(f"yolo11{scale}.yaml")
+    params, state = model.init(0)
+    params, state = fuse_tree(params, state)
+    cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
+    params_h, state_h = jax.device_put(cast(params)), jax.device_put(cast(state))
+    images = jax.device_put(jnp.asarray(np.random.default_rng(0).random((1, 640, 640, 3)), jnp.bfloat16))
+
+    @jax.jit
+    def loop(p, s, im, salt):
+        def body(c, _):
+            feats = model.apply(p, s, im + c.astype(im.dtype), train=False)
+            d = nms_from_feats(feats, model.strides, model.nc, model.reg_max,
+                               conf_thres=0.25, iou_thres=0.7, max_det=300,
+                               max_cand=300, mode="greedy", half=True)
+            return (jnp.sum(d) * 1e-12).astype(jnp.float32), None
+
+        out, _ = jax.lax.scan(body, salt, None, length=iters)
+        return out
+
+    float(loop(params_h, state_h, images, jnp.float32(0)))  # compile
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(loop(params_h, state_h, images, jnp.float32(0)))
+        samples.append((time.perf_counter() - t0) / iters * 1e3)
+    return float(np.percentile(samples, 50)), float(np.percentile(samples, 99))
+
+
 def _host_load_guard(max_wait_s: float = 180.0):
     """Warn + wait for the 1-core host to go quiet before timing (VERDICT r3 #2:
     the r3 artifact regressed ~4.5% purely from host contention inflating the
@@ -212,6 +250,20 @@ def main():
     rate_m = stage("yolo11m_img_s", lambda: bench_scale("m", (64,)), "yolo11m: {:.1f} img/s")
     stage("yolo11m_int8_img_s", lambda: bench_scale("m", (64,), int8=True, iters=12),
           "yolo11m int8 serve: {:.1f} img/s")
+
+    # bs=1 serving latency (BASELINE.md "fixed p50 latency" target): per-batch
+    # device time of the shipped predict graph. Distribution comes from many
+    # short chained reps (each rep = wall/iters of a 25-step in-jit chain at
+    # bs=1 — per-call timing through the relay would measure the ~34 ms tunnel
+    # constant, not the chip); p99 is the quantile over the rep estimates.
+    if BUDGET_S - (time.perf_counter() - t0) > 120:
+        try:
+            p50, p99 = bench_latency_bs1()
+            extras["p50_ms_bs1"] = round(p50, 3)
+            extras["p99_ms_bs1"] = round(p99, 3)
+            print(f"yolo11n bs=1 latency: p50={p50:.3f} ms p99={p99:.3f} ms", file=sys.stderr)
+        except Exception as e:
+            print(f"latency stage: {type(e).__name__}: {e}", file=sys.stderr)
 
     # invocation-level headline retry (VERDICT r3 #2): one more independent
     # measurement of the headline graph after the extras — the max of the two

@@ -137,29 +137,6 @@ def test_assigner_topk_modes_agree():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
-def test_assigner_bf16_metric_dtype():
-    """metric_dtype=bf16 halves the (B,M,A) grids but must keep the same
-    hard assignments (fg mask, labels, gt index) on a non-degenerate scene —
-    near-tie top-k flips are tolerated only in the soft target_scores."""
-    pd_scores, pd_bboxes, anc, gt_labels, gt_bboxes, mask_gt = _scene(7, A=8400, M=8)
-    mk = dict(topk=10, num_classes=pd_scores.shape[-1], alpha=0.5, beta=6.0)
-    args = (jnp.asarray(pd_scores), jnp.asarray(pd_bboxes), jnp.asarray(anc),
-            jnp.asarray(gt_labels), jnp.asarray(gt_bboxes), jnp.asarray(mask_gt))
-    l32, b32, s32, fg32, i32 = TaskAlignedAssigner(**mk)(*args)
-    l16, b16, s16, fg16, i16 = TaskAlignedAssigner(**mk, metric_dtype=jnp.bfloat16)(*args)
-    # hard assignment agreement: allow a tiny near-tie disagreement budget
-    fg32, fg16 = np.asarray(fg32), np.asarray(fg16)
-    disagree = (fg32 != fg16).sum()
-    assert disagree <= max(2, int(0.02 * fg32.sum())), (disagree, fg32.sum())
-    both = fg32 & fg16
-    np.testing.assert_array_equal(np.asarray(l32)[both], np.asarray(l16)[both])
-    np.testing.assert_array_equal(np.asarray(i32)[both], np.asarray(i16)[both])
-    # soft targets within bf16 resolution where assignments agree
-    np.testing.assert_allclose(
-        np.asarray(s16)[both].astype(np.float32), np.asarray(s32)[both], atol=2e-2, rtol=2e-2
-    )
-
-
 def test_tal_no_gt():
     pd_scores, pd_bboxes, anc, gt_labels, gt_bboxes, mask_gt = _scene(0)
     mask_gt[:] = 0

@@ -99,23 +99,6 @@ def main(bs=64, iters=20):
             anchor_points * stride_tensor, gl, gb, mg)
         return jnp.sum(ts.astype(jnp.float32)) + jnp.sum(tb) + jnp.sum(fg)
 
-    def assigner_bf16_obj(fs):
-        # ceiling check for a half-width assigner: keep ALL (B,M,A) grids bf16
-        # (gt/pred boxes cast to bf16 before the CIoU grid, metrics+topk in
-        # bf16). Semantics shift slightly (near-tie top-k flips from ~0.4%
-        # relative box error), so this measures the available win BEFORE any
-        # decision to productize behind an mAP-validated flag.
-        from yololite_tpu.utils.tal import TaskAlignedAssigner as TA
-
-        a16 = TA(topk=assigner.topk, num_classes=NC, alpha=0.5, beta=6.0,
-                 metric_dtype=jnp.bfloat16)
-        pd, ps = split(fs)
-        pb = dist2bbox(dfl_expectation_mm(pd, R), anchor_points, xywh=False)
-        _, tb, ts, fg, _ = a16(
-            jax.nn.sigmoid(ps), (pb * stride_tensor).astype(gb.dtype),
-            anchor_points * stride_tensor, gl, gb, mg)
-        return jnp.sum(ts.astype(jnp.float32)) + jnp.sum(tb.astype(jnp.float32)) + jnp.sum(fg)
-
     def tal_metrics_obj(fs):
         # assigner sub-stage: candidate mask + align-metric/CIoU grid only
         pd, ps = split(fs)
@@ -125,6 +108,41 @@ def main(bs=64, iters=20):
             (pb * stride_tensor).astype(gb.dtype), gl, gb,
             (jnp.ones((bs, MG, A), jnp.float32) * mg))
         return jnp.sum(am) + jnp.sum(ov)
+
+    def tal_m_prep_obj(fs):
+        # metric-prep only: sigmoid over (B,A,nc) + DFL decode to (B,A,4) —
+        # the shared prefix of every metrics stage; tal_metrics minus this is
+        # the true (B,M,A) grid cost
+        pd, ps = split(fs)
+        pb = dist2bbox(dfl_expectation_mm(pd, R), anchor_points, xywh=False)
+        return jnp.sum(jax.nn.sigmoid(ps).astype(jnp.float32)) + jnp.sum(pb * stride_tensor)
+
+    def tal_m_scores_obj(fs):
+        # prep + one-hot class-score einsum grid only (no IoU)
+        pd, ps = split(fs)
+        pb = dist2bbox(dfl_expectation_mm(pd, R), anchor_points, xywh=False)
+        s = jax.nn.sigmoid(ps).astype(jnp.float32)
+        labels = gl.squeeze(-1).astype(jnp.int32).clip(0)
+        oh = jax.nn.one_hot(labels, NC, dtype=s.dtype)
+        bsc = jnp.einsum("bmc,bac->bma", oh, s, preferred_element_type=jnp.float32)
+        return jnp.sum(bsc) + jnp.sum(pb * stride_tensor)
+
+    def tal_m_iou_obj(fs):
+        # prep + plain-IoU (B,M,A) grid (no CIoU extras, no einsum, no pow)
+        pd, ps = split(fs)
+        pb = dist2bbox(dfl_expectation_mm(pd, R), anchor_points, xywh=False) * stride_tensor
+        iou = bbox_iou(gb[:, :, None, :], pb[:, None, :, :].astype(jnp.float32),
+                      xywh=False, CIoU=False)
+        return jnp.sum(iou.clip(0)) + jnp.sum(jax.nn.sigmoid(ps).astype(jnp.float32))
+
+    def tal_m_ciou_obj(fs):
+        # prep + CIoU (B,M,A) grid (no einsum, no pow): CIoU-extras cost =
+        # this minus tal_m_iou; grid-total = this minus tal_m_prep
+        pd, ps = split(fs)
+        pb = dist2bbox(dfl_expectation_mm(pd, R), anchor_points, xywh=False) * stride_tensor
+        iou = bbox_iou(gb[:, :, None, :], pb[:, None, :, :].astype(jnp.float32),
+                      xywh=False, CIoU=True)
+        return jnp.sum(iou.clip(0)) + jnp.sum(jax.nn.sigmoid(ps).astype(jnp.float32))
 
     def tal_topk_old_obj(fs):
         # metrics + hierarchical (value,index) top-k count mask (pre-r4 path)
@@ -282,8 +300,11 @@ def main(bs=64, iters=20):
     stages = {
         "floor": (floor, False),
         "assigner": (assigner_fwd, False),
-        "assigner_bf16": (assigner_bf16_obj, False),
         "tal_metrics": (tal_metrics_obj, False),
+        "tal_m_prep": (tal_m_prep_obj, False),
+        "tal_m_scores": (tal_m_scores_obj, False),
+        "tal_m_iou": (tal_m_iou_obj, False),
+        "tal_m_ciou": (tal_m_ciou_obj, False),
         "tal_topk_old": (tal_topk_old_obj, False),
         "tal_topk_bg": (tal_topk_bg_obj, False),
         "tal_metrics_pow": (tal_metrics_pow_obj, False),

@@ -98,7 +98,12 @@ def main(ckpt="/tmp/tpu_runs/overfit/weights/last.npz", imgsz=320, split="val"):
     # ---- reference stack ----
     from tests.test_model_parity import _build_reference_model
 
-    tm = _build_reference_model(meta.get("cfg", "yolo11n.yaml").replace("yolo11", "").replace(".yaml", "") or "n")
+    cfg = meta.get("cfg", "yolo11n.yaml")
+    if isinstance(cfg, dict):  # trainer meta stores the full yaml dict (trainer._train_meta)
+        scale = cfg.get("scale") or "n"
+    else:
+        scale = cfg.replace("yolo11", "").replace(".yaml", "") or "n"
+    tm = _build_reference_model(scale)
     missing, unexpected = tm.load_state_dict(
         {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()}, strict=False
     )

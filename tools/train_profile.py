@@ -114,15 +114,58 @@ def main():
         e2 = ema_update(ema, p2, jnp.asarray(1))
         return (sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(e2)[:3]) * 1e-12).astype(jnp.float32)
 
+    # ---- forward-gap bisect (r5): the r3 split showed the train-graph forward
+    # at 19.5-22.9 ms while the serving graph does ~7.4 ms for the same images
+    # (14.73 ms at bs=128 halved). These stages name the gap: running-stat BN
+    # (fwd_eval), fp32->bf16 per-step weight casts (fwd_bf16p), BN folded into
+    # conv weights i.e. the serving graph shape (fwd_folded = the floor).
+    @jax.jit
+    def fwd_eval(c):
+        feats = model.apply(params, state, images + c.astype(images.dtype), train=False)
+        return (sum(jnp.sum(f.astype(jnp.float32)) for f in feats) * 1e-12).astype(jnp.float32)
+
+    params16 = jax.device_put(jax.tree.map(lambda x: x.astype(jnp.bfloat16), params))
+    state16 = jax.device_put(jax.tree.map(lambda x: x.astype(jnp.bfloat16), state))
+
+    @jax.jit
+    def fwd_bf16p(c):
+        feats = model.apply(params16, state16, images + c.astype(images.dtype), train=False)
+        return (sum(jnp.sum(f.astype(jnp.float32)) for f in feats) * 1e-12).astype(jnp.float32)
+
+    from yololite_tpu.models.modules import fuse_tree
+
+    fp, fstate = fuse_tree(params, state)
+    fp = jax.device_put(jax.tree.map(lambda x: x.astype(jnp.bfloat16), fp))
+    fstate = jax.device_put(jax.tree.map(lambda x: x.astype(jnp.bfloat16), fstate))
+
+    @jax.jit
+    def fwd_folded(c):
+        feats = model.apply(fp, fstate, images + c.astype(images.dtype), train=False)
+        return (sum(jnp.sum(f.astype(jnp.float32)) for f in feats) * 1e-12).astype(jnp.float32)
+
+    # remat A/B: checkpoint the whole loss fn (save nothing / save dots). If the
+    # forward's residual saves dominate its cost, recompute beats materialize.
+    @jax.jit
+    def grad_remat(c):
+        g = jax.grad(jax.checkpoint(_lossf))(params, c)
+        return (sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g)) * 1e-12).astype(jnp.float32)
+
     r = {}
     r["fwd_train"] = timed("fwd_train (bs=64 amp)", fwd_train)
+    r["fwd_eval"] = timed("fwd_eval (running stats)", fwd_eval)
+    r["fwd_bf16p"] = timed("fwd_eval bf16 params", fwd_bf16p)
+    r["fwd_folded"] = timed("fwd folded-BN bf16 (serving shape)", fwd_folded)
     r["fwd_loss"] = timed("fwd+loss+TAL", fwd_loss)
     r["grad"] = timed("fwd+bwd (grad)", grad_only)
+    r["grad_remat"] = timed("fwd+bwd remat-all", grad_remat)
     r["full"] = timed("full step (grad+clip+SGD+EMA)", full_step)
     if r.get("fwd_loss") and r.get("fwd_train"):
         print(f"loss+TAL forward-side cost: {r['fwd_loss'] - r['fwd_train']:.2f} ms", flush=True)
     if r.get("grad") and r.get("full"):
         print(f"optimizer+EMA cost: {r['full'] - r['grad']:.2f} ms", flush=True)
+    if r.get("fwd_eval") and r.get("fwd_folded"):
+        print(f"BN-unfolded+fp32-cast forward overhead: {r['fwd_eval'] - r['fwd_folded']:.2f} ms "
+              f"(batch-stat extra: {(r.get('fwd_train') or 0) - r['fwd_eval']:.2f})", flush=True)
     print("RESULTS", {k: (round(v, 2) if v else None) for k, v in r.items()}, flush=True)
 
 

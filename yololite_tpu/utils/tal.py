@@ -147,18 +147,17 @@ class TaskAlignedAssigner:
     """Functional TAL assigner: __call__ is jit/vmap-safe with static M."""
 
     def __init__(self, topk: int = 13, num_classes: int = 80, alpha: float = 1.0, beta: float = 6.0,
-                 eps: float = 1e-9, metric_dtype=jnp.float32):
+                 eps: float = 1e-9):
         self.topk = topk
         self.num_classes = num_classes
         self.bg_idx = num_classes
         self.alpha = alpha
         self.beta = beta
         self.eps = eps
-        # dtype of the (B,M,A) metric/overlap grids. fp32 default matches the
-        # reference bit-for-bit; bf16 halves the assigner's HBM traffic and sort
-        # width at the cost of near-tie top-k flips (~0.4% relative box error) —
-        # only safe behind an mAP-validated configuration.
-        self.metric_dtype = metric_dtype
+        # metric/overlap grids are fp32, matching the reference bit-for-bit. A
+        # bf16 metric_dtype knob existed in r4; its measured ceiling was ~0.4 ms
+        # of a 110 ms step (11.93 vs 12.32 ms assigner at bs=128, docs/PERF.md
+        # queue9) against an mAP-revalidation cost — deleted by the flip rule.
 
     def __call__(
         self,
@@ -198,7 +197,7 @@ class TaskAlignedAssigner:
         return target_labels, target_bboxes, target_scores, fg_mask > 0, target_gt_idx
 
     def _get_pos_mask(self, pd_scores, pd_bboxes, gt_labels, gt_bboxes, anc_points, mask_gt):
-        dt = self.metric_dtype
+        dt = jnp.float32
         mask_in_gts = select_candidates_in_gts(anc_points, gt_bboxes).astype(dt)  # (B,M,A)
         valid = mask_in_gts * mask_gt.astype(dt)  # (B,M,A)
         align_metric, overlaps = self._get_box_metrics(pd_scores, pd_bboxes, gt_labels, gt_bboxes, valid)
@@ -212,17 +211,16 @@ class TaskAlignedAssigner:
         # per-(gt, anchor) class score via one-hot matmul: exact gather semantics
         # (zeros add exactly) but runs on the MXU instead of TPU's slow row-gather,
         # and reads bf16 scores with fp32 accumulation on the amp path
-        dt = self.metric_dtype
+        dt = jnp.float32
         one_hot = jax.nn.one_hot(labels, self.num_classes, dtype=pd_scores.dtype)  # (B,M,nc)
         bbox_scores = jnp.einsum(
             "bmc,bac->bma", one_hot, pd_scores, preferred_element_type=dt
         )
         bbox_scores = bbox_scores * mask.astype(dt)
 
-        # IoU math stays fp32 regardless of metric_dtype: intersection widths
-        # are differences of near-equal coordinates, and bf16 coords suffer
-        # catastrophic cancellation (x300 metric error after ^beta). Only the
-        # materialized (B,M,A) grid is narrowed — the fp32 intermediates fuse.
+        # IoU math is fp32: intersection widths are differences of near-equal
+        # coordinates, and bf16 coords suffer catastrophic cancellation (x300
+        # metric error after ^beta — docs/PERF.md r4 queue9).
         iou = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :].astype(jnp.float32),
                        xywh=False, CIoU=True)
         overlaps = jnp.where(mask > 0, iou.clip(0).astype(dt), jnp.zeros((), dt))
