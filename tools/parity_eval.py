@@ -75,7 +75,8 @@ def stage_coco8() -> str:
     return str(work / "coco8.yaml")
 
 
-def main(ckpt="/tmp/tpu_runs/overfit/weights/last.npz", imgsz=320, split="val"):
+def main(ckpt="/tmp/tpu_runs/overfit/weights/last.npz", imgsz=320, split="val",
+         artifact=None):
     imgsz = int(imgsz)
     import numpy as np
 
@@ -169,12 +170,39 @@ def main(ckpt="/tmp/tpu_runs/overfit/weights/last.npz", imgsz=320, split="val"):
     my_map = float(my_metrics.box.map)
     my_map50 = float(my_metrics.box.map50)
 
+    # bf16 bound: same weights through our half (bf16) predict path
+    half_metrics = YOLOLite(ckpt).val(
+        data=data_yaml, imgsz=imgsz, batch=4, rect=True, split=split, half=True,
+        plots=False, verbose=False, project="/tmp/parity_runs", name="tpu_half", exist_ok=True,
+    )
+    half_map = float(half_metrics.box.map)
+    half_map50 = float(half_metrics.box.map50)
+
     print(f"reference: mAP50-95={ref_map:.5f}  mAP50={ref_map50:.5f}")
     print(f"ours:      mAP50-95={my_map:.5f}  mAP50={my_map50:.5f}")
+    print(f"ours bf16: mAP50-95={half_map:.5f}  mAP50={half_map50:.5f}")
     print(f"delta:     mAP50-95={abs(ref_map - my_map):.5f}  mAP50={abs(ref_map50 - my_map50):.5f}")
+    print(f"delta b16: mAP50-95={abs(ref_map - half_map):.5f}  mAP50={abs(ref_map50 - half_map50):.5f}")
+    if artifact:
+        import json
+
+        Path(artifact).write_text(json.dumps({
+            "ckpt": str(ckpt), "imgsz": imgsz, "split": split,
+            "reference": {"map50_95": ref_map, "map50": ref_map50},
+            "ours_fp32": {"map50_95": my_map, "map50": my_map50},
+            "ours_bf16": {"map50_95": half_map, "map50": half_map50},
+            "delta_fp32": {"map50_95": abs(ref_map - my_map), "map50": abs(ref_map50 - my_map50)},
+            "delta_bf16": {"map50_95": abs(ref_map - half_map), "map50": abs(ref_map50 - half_map50)},
+            "target": "|delta fp32 mAP50-95| <= 1e-3 (BASELINE.json headline)",
+            "pass_fp32": abs(ref_map - my_map) <= 1e-3,
+        }, indent=1) + "\n")
+        print(f"artifact: {artifact}")
     return ref_map, my_map
 
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    main(*args) if args else main()
+    if args:
+        main(*args)
+    else:
+        main(artifact=str(Path(__file__).resolve().parents[1] / "PARITY_r05.json"))

@@ -38,6 +38,11 @@ timeout 1800 python tools/train_bench.py 64 1
 timeout 1800 python tools/train_bench.py 128 1
 
 date
+# m-scale int8 1.45x-vs-2x bisect (VERDICT #4): conv micro ratio, backbone
+# prefix, bf16 island, NMS-tail dilution
+timeout 3600 python tools/int8_profile.py m 64
+
+date
 # analytic rooflines (host-side model, no chip time)
 timeout 600 python tools/traffic_model.py m 64 || true
 timeout 600 python tools/traffic_model.py n 128 || true
