@@ -19,6 +19,13 @@ date
 timeout 900 python -c 'import jax,jax.numpy as jnp; x=jax.device_put(jnp.ones((8,8))); print("sanity", float((x@x).sum()))' || { echo RELAY_DOWN; exit 1; }
 
 date
+# VERDICT #1: end-to-end mAP parity vs the reference val stack (CPU-only;
+# runs first so its host load can't contaminate the timed chip stages)
+[ -f /tmp/tpu_runs/overfit/weights/last.npz ] && \
+  timeout 5400 python tools/parity_eval.py /tmp/tpu_runs/overfit/weights/last.npz 320 val PARITY_r05.json \
+  || echo PARITY_SKIPPED
+
+date
 # inference tail: the full per-stage table at the headline shape
 TAILPROFILE_STAGES=fwd,+select,+decode_blk8,full_blk8,full_suppscan,full_suppfast \
   timeout 3600 python tools/tail_profile.py 128
