@@ -17,16 +17,26 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main(epochs: int = 250, imgsz: int = 320):
+def main(epochs: int = 600, imgsz: int = 320):
     from yololite_tpu.engine.trainer import DetectionTrainer
 
+    # Hard-overfit recipe: the auto-optimizer rule lands on AdamW at
+    # lr=0.002*5/84=1.2e-4 (reference trainer.py:642-645), far too cold to
+    # memorize 4 images in a one-batch epoch — the r5 first attempt finished
+    # 250 epochs with box loss ~6 and ZERO detections on either val stack.
+    # Explicit AdamW lr0=2e-3, constant-ish decay, and every geometric/color
+    # augmentation off so each epoch descends the same 4-image batch.
     t = DetectionTrainer(overrides={
         "model": "yolo11n.yaml", "data": "/root/reference/coco8/coco8.yaml",
         "epochs": epochs, "imgsz": imgsz, "batch": 8, "workers": 0,
         "mode": "train", "project": "/tmp/tpu_runs", "name": "overfit",
         "exist_ok": True, "val": False, "plots": False, "save": True,
-        "close_mosaic": epochs, "mosaic": 0.0, "amp": True,
-        "save_period": -1,
+        "close_mosaic": epochs, "mosaic": 0.0, "mixup": 0.0, "copy_paste": 0.0,
+        "translate": 0.0, "scale": 0.0, "fliplr": 0.0, "flipud": 0.0,
+        "degrees": 0.0, "shear": 0.0, "perspective": 0.0,
+        "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0,
+        "optimizer": "AdamW", "lr0": 0.002, "lrf": 0.2, "warmup_epochs": 5.0,
+        "amp": True, "save_period": -1,
     })
     t.train()
     print("saved:", t.save_dir / "weights" / "last.npz", flush=True)
