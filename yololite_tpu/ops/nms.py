@@ -228,6 +228,10 @@ LARGE_K_MODE = "blocked"
 #   "dfl_all" DFL expectation for ALL anchors (segment matmuls) + narrow (K,4)
 #             gathers — the only form that scales to validator-sized K, so K >
 #             OHG_MAX_K always uses it (a (B, 8192, 8400) one-hot is ~HBM-sized)
+#   "pallas"  VMEM row-gather kernel (pallas_kernels.take_rows_pallas): streams
+#             each image's (A, 4R) slab into VMEM once, K VMEM-local row
+#             copies — r5 candidate targeting the measured +2.68 ms
+#             select→decode delta (docs/r5_queue1_results.log)
 GATHER_MODE = "blocked"
 OHG_MAX_K = 1024
 GATHER_BLOCK = 8
@@ -446,6 +450,11 @@ def nms_from_feats(
         from yololite_tpu.ops.decode import take_rows_blocked
 
         cand_logits = take_rows_blocked(box_logits, bidx, GATHER_BLOCK)
+        dist = dfl_expectation_mm(cand_logits, reg_max)  # (B, K, 4) f32
+    elif gm == "pallas":
+        from yololite_tpu.ops.pallas_kernels import take_rows_pallas
+
+        cand_logits = take_rows_pallas(box_logits, bidx)
         dist = dfl_expectation_mm(cand_logits, reg_max)  # (B, K, 4) f32
     else:
         dist_all = dfl_expectation_mm(box_logits, reg_max)  # (B, A, 4) f32

@@ -113,6 +113,55 @@ def device_letterbox(images: jnp.ndarray, imgsz: int = 640, out_dtype_name: str 
     return (x / 255.0).astype(out_dtype)
 
 
+# ---------------- VMEM row gather (candidate-logit fetch) ----------------
+
+
+def _row_gather_kernel(idx_ref, x_ref, o_ref, *, k: int):
+    """Per-image row gather with the whole (A, C) slab resident in VMEM.
+
+    idx_ref: (B, K) int32 in SMEM (scalar-prefetched); x block (1, A, C);
+    o block (1, K, C). The K dynamic sublane-slice copies are VMEM-local —
+    no HBM latency per row, unlike XLA's serialized row-gather lowering.
+    """
+    b = pl.program_id(0)
+
+    def body(j, carry):
+        i = idx_ref[b, j]
+        o_ref[0, pl.ds(j, 1), :] = x_ref[0, pl.ds(i, 1), :]
+        return carry
+
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+def take_rows_pallas(x: jnp.ndarray, idx: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """x (B, A, C) x idx (B, K) int -> (B, K, C), == take_along_axis row gather.
+
+    r5 candidate for the decode-stage gather (GATHER_MODE="pallas"): the
+    select→decode delta measured +2.68 ms/batch at bs=128 K=300
+    (docs/r5_queue1_results.log) against a ~0.3 ms traffic bound; the blocked
+    one-hot form pays two extra MXU/HBM passes over (K, A/block) operands,
+    while this kernel streams each image's (A, C) slab into VMEM once (the
+    pipelined BlockSpec DMA) and does K VMEM-local row copies.
+    """
+    B, A, C = x.shape
+    K = idx.shape[1]
+    # interpret mode off-TPU so CPU tests (and the virtual-device mesh) run
+    # the same code path bit-identically
+    interpret = interpret or jax.devices()[0].platform != "tpu"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, A, C), lambda b, idx_ref: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, K, C), lambda b, idx_ref: (b, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_row_gather_kernel, k=K),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, K, C), x.dtype),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), x)
+
+
 # NOTE: three kernel families were removed after measured losses on v5e
 # (flip-or-delete, docs/PERF.md round 4 + docs/r4_queue1_results.log):
 #   - device_letterbox_s2d/_s4d: space-to-depth letterbox variants feeding the
