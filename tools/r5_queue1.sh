@@ -55,7 +55,6 @@ timeout 600 python tools/traffic_model.py m 64 || true
 timeout 600 python tools/traffic_model.py n 128 || true
 
 date
-timeout 3600 python bench.py
-
-date
+# bench.py deliberately NOT run here: the inference default config is
+# unchanged since r4 queue9's 8389.3 img/s; queue3 benches after the r5 flips
 echo R5_QUEUE1_DONE
