@@ -21,13 +21,14 @@ date
 timeout 900 python -c 'import jax,jax.numpy as jnp; x=jax.device_put(jnp.ones((8,8))); print("sanity", float((x@x).sum()))' || { echo RELAY_DOWN; exit 1; }
 
 date
-# pallas VMEM row-gather vs blocked one-hot gather, full pipeline at bs=128
-TAILPROFILE_STAGES=full_blk8,full_pallas timeout 3600 python tools/tail_profile.py 128
+# batch-scaling anomaly FIRST (r5 queue1: folded fwd 19.64 ms @64 vs 14.87
+# @128; backward scales it to ~36 ms of the bs=64 step): sweep + per-layer
+# localization at the two anchor batch sizes
+timeout 3600 python tools/batch_scaling.py n 32,64,96,128 --layers 64,128
 
 date
-# batch-scaling anomaly (r5 queue1: folded fwd 19.64 ms @64 vs 14.87 @128):
-# sweep + per-layer localization at the two anchor batch sizes
-timeout 3600 python tools/batch_scaling.py n 32,64,96,128 --layers 64,128
+# pallas VMEM row-gather vs blocked one-hot gather, full pipeline at bs=128
+TAILPROFILE_STAGES=full_blk8,full_pallas timeout 3600 python tools/tail_profile.py 128
 
 date
 timeout 3600 python bench.py
