@@ -34,4 +34,8 @@ date
 timeout 3600 python bench.py
 
 date
+# headline with the pallas gather (flip decision data; code default unchanged)
+YLT_GATHER_MODE=pallas timeout 3600 python bench.py
+
+date
 echo R5_QUEUE3_DONE

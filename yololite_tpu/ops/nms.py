@@ -13,6 +13,7 @@ single pass when throughput matters more than tie-level parity.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -232,7 +233,9 @@ LARGE_K_MODE = "blocked"
 #             each image's (A, 4R) slab into VMEM once, K VMEM-local row
 #             copies — r5 candidate targeting the measured +2.68 ms
 #             select→decode delta (docs/r5_queue1_results.log)
-GATHER_MODE = "blocked"
+# YLT_GATHER_MODE env lets the benchmark queue A/B modes on the unmodified
+# artifact (trace-time read, like the constant itself).
+GATHER_MODE = os.environ.get("YLT_GATHER_MODE", "blocked")
 OHG_MAX_K = 1024
 GATHER_BLOCK = 8
 
