@@ -31,10 +31,9 @@ date
 TAILPROFILE_STAGES=full_blk8,full_pallas timeout 3600 python tools/tail_profile.py 128
 
 date
-timeout 3600 python bench.py
-
-date
-# headline with the pallas gather (flip decision data; code default unchanged)
+# headline with the pallas gather (flip decision data; code default unchanged —
+# queue1's bench already recorded blocked-mode 8389.3 img/s; the driver's
+# round-end bench.py records the official artifact on whatever default ships)
 YLT_GATHER_MODE=pallas timeout 3600 python bench.py
 
 date
