@@ -35,11 +35,24 @@ def main(epochs: int = 600, imgsz: int = 320):
         "translate": 0.0, "scale": 0.0, "fliplr": 0.0, "flipud": 0.0,
         "degrees": 0.0, "shear": 0.0, "perspective": 0.0,
         "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0,
+        # warmup_bias_lr MUST be zeroed with an explicit Adam-family pick: the
+        # reference zeroes it only on the auto path (trainer.py:645), and 100
+        # warmup iters of bias-lr 0.1 under AdamW drive the cls biases to -inf
+        # -> all scores ~0 -> the TAL metric grid goes all-zero -> zero
+        # foreground -> box/dfl loss exactly 0.000 (the r5 collapsed run).
         "optimizer": "AdamW", "lr0": 0.002, "lrf": 0.2, "warmup_epochs": 5.0,
-        "amp": True, "save_period": -1,
+        "warmup_bias_lr": 0.0, "amp": True, "save_period": -1,
     })
     t.train()
     print("saved:", t.save_dir / "weights" / "last.npz", flush=True)
+    try:
+        last = (t.save_dir / "results.csv").read_text().strip().splitlines()[-1]
+        box = float(last.split(",")[1])
+        if box == 0.0:
+            print("WARNING: final box loss is exactly 0.0 — zero-foreground collapse, "
+                  "checkpoint is background-only", flush=True)
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":
