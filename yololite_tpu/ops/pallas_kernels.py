@@ -116,21 +116,33 @@ def device_letterbox(images: jnp.ndarray, imgsz: int = 640, out_dtype_name: str 
 # ---------------- VMEM row gather (candidate-logit fetch) ----------------
 
 
-def _row_gather_kernel(idx_ref, x_ref, o_ref, *, k: int):
+def _row_gather_kernel(idx_ref, x_ref, o_ref, *, k: int, c: int):
     """Per-image row gather with the whole (A, C) slab resident in VMEM.
 
     idx_ref: (B, K) int32 in SMEM (scalar-prefetched); x block (1, A, C);
-    o block (1, K, C). The K dynamic sublane-slice copies are VMEM-local —
-    no HBM latency per row, unlike XLA's serialized row-gather lowering.
+    o block (1, K, C), K a multiple of 8. Mosaic requires dynamic sublane
+    indices to be provably 8-aligned (the naive one-row dynamic copy fails
+    with "cannot statically prove that index in dimension 1 is a multiple of
+    8"), so each gathered row is fetched as an ALIGNED 8-sublane window at
+    (i//8)*8 and selected with a one-hot compare-sum; output rows are built in
+    registers 8 at a time and stored as one aligned (8, C) write at j = 8*g.
+    All VMEM-local — no HBM latency per row, no one-hot operand traffic.
     """
     b = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, c), 0)  # sublane ids 0..7
 
-    def body(j, carry):
-        i = idx_ref[b, j]
-        o_ref[0, pl.ds(j, 1), :] = x_ref[0, pl.ds(i, 1), :]
+    def group(g, carry):
+        acc = jnp.zeros((8, c), x_ref.dtype)
+        for r in range(8):  # unrolled: r static
+            i = idx_ref[b, g * 8 + r]
+            base = (i // 8) * 8
+            win = x_ref[0, pl.ds(base, 8), :]  # aligned (8, C) window
+            row = jnp.sum(jnp.where(lane == (i - base), win, 0), axis=0)  # (C,)
+            acc = acc + jnp.where(lane == r, row[None, :], 0)
+        o_ref[0, pl.ds(g * 8, 8), :] = acc
         return carry
 
-    jax.lax.fori_loop(0, k, body, 0)
+    jax.lax.fori_loop(0, k // 8, group, 0)
 
 
 def take_rows_pallas(x: jnp.ndarray, idx: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
@@ -141,25 +153,34 @@ def take_rows_pallas(x: jnp.ndarray, idx: jnp.ndarray, interpret: bool = False) 
     (docs/r5_queue1_results.log) against a ~0.3 ms traffic bound; the blocked
     one-hot form pays two extra MXU/HBM passes over (K, A/block) operands,
     while this kernel streams each image's (A, C) slab into VMEM once (the
-    pipelined BlockSpec DMA) and does K VMEM-local row copies.
+    pipelined BlockSpec DMA) and gathers rows VMEM-locally.
     """
     B, A, C = x.shape
     K = idx.shape[1]
+    Kp = -(-K // 8) * 8  # Mosaic: 8-aligned output groups
+    pad_a = 0
+    if A % 8:
+        pad_a = 8 - A % 8  # aligned 8-row windows may read past A
+        x = jnp.pad(x, [(0, 0), (0, pad_a), (0, 0)])
+    idx_p = idx.astype(jnp.int32)
+    if Kp != K:
+        idx_p = jnp.pad(idx_p, [(0, 0), (0, Kp - K)])
     # interpret mode off-TPU so CPU tests (and the virtual-device mesh) run
     # the same code path bit-identically
     interpret = interpret or jax.devices()[0].platform != "tpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
-        in_specs=[pl.BlockSpec((1, A, C), lambda b, idx_ref: (b, 0, 0))],
-        out_specs=pl.BlockSpec((1, K, C), lambda b, idx_ref: (b, 0, 0)),
+        in_specs=[pl.BlockSpec((1, A + pad_a, C), lambda b, idx_ref: (b, 0, 0))],
+        out_specs=pl.BlockSpec((1, Kp, C), lambda b, idx_ref: (b, 0, 0)),
     )
-    return pl.pallas_call(
-        functools.partial(_row_gather_kernel, k=K),
+    out = pl.pallas_call(
+        functools.partial(_row_gather_kernel, k=Kp, c=C),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, K, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Kp, C), x.dtype),
         interpret=interpret,
-    )(idx.astype(jnp.int32), x)
+    )(idx_p, x)
+    return out[:, :K]
 
 
 # NOTE: three kernel families were removed after measured losses on v5e
