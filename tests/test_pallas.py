@@ -52,15 +52,3 @@ def test_device_letterbox_matches_cv2(shape):
 
 
 
-
-def test_take_rows_pallas_matches_take_along_axis():
-    """VMEM row-gather kernel (interpret mode) == take_along_axis, bf16 + f32."""
-    from yololite_tpu.ops.pallas_kernels import take_rows_pallas
-
-    rng = np.random.default_rng(3)
-    for dtype in (np.float32, jnp.bfloat16):
-        x = jnp.asarray(rng.standard_normal((3, 257, 64)).astype(np.float32)).astype(dtype)
-        idx = jnp.asarray(rng.integers(0, 257, (3, 37)), jnp.int32)
-        got = np.asarray(take_rows_pallas(x, idx, interpret=True))
-        want = np.asarray(jnp.take_along_axis(x, idx[..., None], axis=1))
-        np.testing.assert_array_equal(got, want)

@@ -219,7 +219,6 @@ def main(bs=128, iters=20):
                   ("full_blk8", _full_with_mode("blocked", 8)),
                   ("full_blk16", _full_with_mode("blocked", 16)),
                   ("full_blk32", _full_with_mode("blocked", 32)),
-                  ("full_pallas", _full_with_mode("pallas")),
                   ("fwd", stage_fwd), ("+select", stage_select),
                   ("+decode_blk8", _decode_no_suppress),
                   ("full_suppscan", _full_suppress_variant("scan")),

@@ -229,10 +229,12 @@ LARGE_K_MODE = "blocked"
 #   "dfl_all" DFL expectation for ALL anchors (segment matmuls) + narrow (K,4)
 #             gathers — the only form that scales to validator-sized K, so K >
 #             OHG_MAX_K always uses it (a (B, 8192, 8400) one-hot is ~HBM-sized)
-#   "pallas"  VMEM row-gather kernel (pallas_kernels.take_rows_pallas): streams
-#             each image's (A, 4R) slab into VMEM once, K VMEM-local row
-#             copies — r5 candidate targeting the measured +2.68 ms
-#             select→decode delta (docs/r5_queue1_results.log)
+# A sixth formulation — a Pallas VMEM row-gather (stream each image's (A, 4R)
+# slab into VMEM, gather rows with aligned 8-sublane windows + arithmetic
+# one-hots) — was built and measured SLOWER in r5: 18.41 vs blk8's 16.68
+# ms/batch e2e at bs=128/K=300 (docs/PERF.md round 5; the serialized per-row
+# VMEM loop loses to the MXU-dense blocked one-hot contractions), so it was
+# deleted by the flip-or-delete rule.
 # YLT_GATHER_MODE env lets the benchmark queue A/B modes on the unmodified
 # artifact (trace-time read, like the constant itself).
 GATHER_MODE = os.environ.get("YLT_GATHER_MODE", "blocked")
@@ -453,11 +455,6 @@ def nms_from_feats(
         from yololite_tpu.ops.decode import take_rows_blocked
 
         cand_logits = take_rows_blocked(box_logits, bidx, GATHER_BLOCK)
-        dist = dfl_expectation_mm(cand_logits, reg_max)  # (B, K, 4) f32
-    elif gm == "pallas":
-        from yololite_tpu.ops.pallas_kernels import take_rows_pallas
-
-        cand_logits = take_rows_pallas(box_logits, bidx)
         dist = dfl_expectation_mm(cand_logits, reg_max)  # (B, K, 4) f32
     else:
         dist_all = dfl_expectation_mm(box_logits, reg_max)  # (B, A, 4) f32

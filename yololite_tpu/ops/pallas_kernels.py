@@ -113,76 +113,6 @@ def device_letterbox(images: jnp.ndarray, imgsz: int = 640, out_dtype_name: str 
     return (x / 255.0).astype(out_dtype)
 
 
-# ---------------- VMEM row gather (candidate-logit fetch) ----------------
-
-
-def _row_gather_kernel(idx_ref, x_ref, o_ref, *, k: int, c: int):
-    """Per-image row gather with the whole (A, C) slab resident in VMEM.
-
-    idx_ref: (B, K) int32 in SMEM (scalar-prefetched); x block (1, A, C);
-    o block (1, K, C), K a multiple of 8. Mosaic requires dynamic sublane
-    indices to be provably 8-aligned (the naive one-row dynamic copy fails
-    with "cannot statically prove that index in dimension 1 is a multiple of
-    8"), so each gathered row is fetched as an ALIGNED 8-sublane window at
-    (i//8)*8 and selected with a one-hot compare-sum; output rows are built in
-    registers 8 at a time and stored as one aligned (8, C) write at j = 8*g.
-    All VMEM-local — no HBM latency per row, no one-hot operand traffic.
-    """
-    b = pl.program_id(0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, c), 0)  # sublane ids 0..7
-
-    def group(g, carry):
-        acc = jnp.zeros((8, c), x_ref.dtype)
-        for r in range(8):  # unrolled: r static
-            i = idx_ref[b, g * 8 + r]
-            base = (i // 8) * 8
-            win = x_ref[0, pl.ds(base, 8), :]  # aligned (8, C) window
-            row = jnp.sum(jnp.where(lane == (i - base), win, 0), axis=0)  # (C,)
-            acc = acc + jnp.where(lane == r, row[None, :], 0)
-        o_ref[0, pl.ds(g * 8, 8), :] = acc
-        return carry
-
-    jax.lax.fori_loop(0, k // 8, group, 0)
-
-
-def take_rows_pallas(x: jnp.ndarray, idx: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """x (B, A, C) x idx (B, K) int -> (B, K, C), == take_along_axis row gather.
-
-    r5 candidate for the decode-stage gather (GATHER_MODE="pallas"): the
-    select→decode delta measured +2.68 ms/batch at bs=128 K=300
-    (docs/r5_queue1_results.log) against a ~0.3 ms traffic bound; the blocked
-    one-hot form pays two extra MXU/HBM passes over (K, A/block) operands,
-    while this kernel streams each image's (A, C) slab into VMEM once (the
-    pipelined BlockSpec DMA) and gathers rows VMEM-locally.
-    """
-    B, A, C = x.shape
-    K = idx.shape[1]
-    Kp = -(-K // 8) * 8  # Mosaic: 8-aligned output groups
-    pad_a = 0
-    if A % 8:
-        pad_a = 8 - A % 8  # aligned 8-row windows may read past A
-        x = jnp.pad(x, [(0, 0), (0, pad_a), (0, 0)])
-    idx_p = idx.astype(jnp.int32)
-    if Kp != K:
-        idx_p = jnp.pad(idx_p, [(0, 0), (0, Kp - K)])
-    # interpret mode off-TPU so CPU tests (and the virtual-device mesh) run
-    # the same code path bit-identically
-    interpret = interpret or jax.devices()[0].platform != "tpu"
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, A + pad_a, C), lambda b, idx_ref: (b, 0, 0))],
-        out_specs=pl.BlockSpec((1, Kp, C), lambda b, idx_ref: (b, 0, 0)),
-    )
-    out = pl.pallas_call(
-        functools.partial(_row_gather_kernel, k=Kp, c=C),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Kp, C), x.dtype),
-        interpret=interpret,
-    )(idx_p, x)
-    return out[:, :K]
-
-
 # NOTE: three kernel families were removed after measured losses on v5e
 # (flip-or-delete, docs/PERF.md round 4 + docs/r4_queue1_results.log):
 #   - device_letterbox_s2d/_s4d: space-to-depth letterbox variants feeding the
@@ -194,3 +124,11 @@ def take_rows_pallas(x: jnp.ndarray, idx: jnp.ndarray, interpret: bool = False) 
 #     -padded vregs; sum-of-taps variant: compiles with a 96 MiB scoped-vmem
 #     grant but runs 13.7 vs 2.7 ms/batch -- the 48/64-wide contractions waste
 #     ~2/3 of each 128-lane MXU pass, and 4 taps double the passes).
+# And one in round 5 (docs/PERF.md round 5):
+#   - take_rows_pallas: VMEM row-gather for the NMS candidate-logit fetch
+#     (per-image (A, 4R) slab in VMEM, aligned 8-sublane windows + arithmetic
+#     one-hot selects). Compiled and bit-matched on-chip after two Mosaic
+#     workarounds (8-aligned dynamic sublane indices; no i1 relayouts), but
+#     measured 18.41 vs 16.68 ms/batch e2e against the blocked one-hot gather
+#     at bs=128/K=300 -- the serialized per-row VMEM loop loses to MXU-dense
+#     contractions. Deleted by the flip rule.
