@@ -218,6 +218,8 @@ def main(bs=128, iters=20):
                   ("full_ohg", _full_with_mode("ohg")),
                   ("full_blk8", _full_with_mode("blocked", 8)),
                   ("full_blk16", _full_with_mode("blocked", 16)),
+                  ("full_blk4", _full_with_mode("blocked", 4)),
+                  ("full_blk2", _full_with_mode("blocked", 2)),
                   ("full_blk32", _full_with_mode("blocked", 32)),
                   ("fwd", stage_fwd), ("+select", stage_select),
                   ("+decode_blk8", _decode_no_suppress),
